@@ -1,0 +1,117 @@
+"""Batched SO(3) utilities: axis-angle <-> rotation matrix, projections.
+
+Reference parity: openMVG uses ceres::AngleAxisRotatePoint /
+ceres::AngleAxisToRotationMatrix inside BA (sfm/sfm_data_BA_ceres.cpp) and
+Eigen AngleAxis elsewhere.  Here everything is a pure jnp function that
+broadcasts over leading batch dimensions, safe to vmap/jit/grad (Taylor
+branches around theta=0 keep gradients finite).
+"""
+
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def skew(w):
+    """(..., 3) -> (..., 3, 3) cross-product matrix [w]_x."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([z, -wz, wy], axis=-1),
+            jnp.stack([wz, z, -wx], axis=-1),
+            jnp.stack([-wy, wx, z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def expmap(w):
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) via Rodrigues.
+
+    Gradient-safe at theta ~= 0 (2nd-order Taylor for the coefficients).
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS**2))
+    small = theta2 < _EPS
+    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS**2))
+    K = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
+def logmap(R):
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
+
+    Uses the standard trace formula with a quaternion-free fallback that is
+    stable near theta = 0; near theta = pi accuracy is ~sqrt(eps) which is
+    acceptable for averaging/BA increments (they never sit at pi).
+    """
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    # vee of (R - R^T)/2 = sin(theta) * axis
+    v = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    ) * 0.5
+    sin_t = jnp.sin(theta)
+    small = theta < 1e-5
+    near_pi = theta > jnp.pi - 1e-3
+    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.maximum(sin_t, 1e-12))
+    w_generic = v * scale[..., None]
+    # near pi: R_ii = cos + n_i^2 (1-cos)  =>  n_i = sqrt((R_ii - cos)/(1-cos))
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    denom = jnp.maximum(1.0 - cos_t, 1e-12)
+    axis = jnp.sqrt(jnp.maximum((diag - cos_t[..., None]) / denom[..., None], 0.0))
+    # fix signs using off-diagonal sums (sign of v components)
+    sign = jnp.where(v >= 0, 1.0, -1.0)
+    w_pi = axis * sign * theta[..., None]
+    return jnp.where(near_pi[..., None], w_pi, w_generic)
+
+
+def project_to_so3(M):
+    """Nearest rotation matrix to (..., 3, 3) M via SVD (det +1 enforced).
+
+    Parity: openMVG ClosestSVDRotationMatrix
+    (multiview/rotation_averaging_l2.cpp).
+    """
+    U, _, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.concatenate(
+        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
+        axis=-1,
+    )
+    return (U * D[..., None, :]) @ Vt
+
+
+def rotation_angle_deg(R):
+    """Angular magnitude of a rotation in degrees (batched)."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos_t))
+
+
+def relative_rotation_angle_deg(Ra, Rb):
+    """Angle between two rotations in degrees: angle(Ra Rb^T)."""
+    return rotation_angle_deg(Ra @ jnp.swapaxes(Rb, -1, -2))
+
+
+def quat_to_rot(q):
+    """Unit quaternion (..., 4) wxyz -> rotation matrix (..., 3, 3)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
