@@ -1,0 +1,230 @@
+"""Two-view / resection robust estimation — the AC-RANSAC kernel layer.
+
+Reference parity:
+  - robustRelativePose (sfm/pipelines/sfm_robust_model_estimation.cpp:29-120):
+    pinhole pairs -> 5-pt essential AC-RANSAC whose residual is the pixel
+    point-to-line epipolar distance through F = K2^-T E K1^-1
+    (ACKernelAdaptorEssential, robust_estimator_ACRansacKernelAdaptator.hpp:300+);
+    non-pinhole (spherical-capable) -> 8-pt on bearings with angular error
+    (ACKernelAdaptor_AngularRadianError).  Inlier floor 2.5x MINIMUM_SAMPLES,
+    then cheirality pose recovery.
+  - GeometricFilter F/H/E functors (matching_image_collection/*_ACRobust*):
+    conditioned solve + pixel-unit NFA.
+  - ACKernelAdaptorResection_K: P3P on bearings, pixel reprojection NFA.
+
+Design: solvers run on conditioned coordinates for numerics, but residuals
+and NFA run in pixel units directly (equivalent statistics, simpler
+threshold plumbing — thresholds in/out are squared pixels).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from openmvg_tpu.ops import (
+    conditioning,
+    essential,
+    fundamental,
+    homography,
+    ransac,
+    resection,
+    triangulation,
+)
+
+
+# ---------------------------------------------------------------------------
+# fundamental (pixels)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_samples", "use_8pt"))
+def robust_fundamental(key, x1, x2, valid, w1, h1, w2, h2,
+                       n_samples=1024, precision_sq=jnp.inf, use_8pt=False):
+    """AC-RANSAC F between two images.  x1, x2 (N, 2) pixels, valid (N,).
+
+    Returns ACRansacResult with model = F (3, 3), threshold in squared px.
+    """
+    T1 = conditioning.preconditioner_from_size(w1, h1, x1.dtype)
+    T2 = conditioning.preconditioner_from_size(w2, h2, x2.dtype)
+
+    if use_8pt:
+        def fit(sub):
+            a, b = sub
+            F = fundamental.solve_8pt(
+                conditioning.apply_transform(T1, a),
+                conditioning.apply_transform(T2, b))
+            F = T2.T @ F @ T1
+            return F[None], jnp.ones((1,), bool)
+        max_models = 1
+    else:
+        def fit(sub):
+            a, b = sub
+            Fs, ok = fundamental.solve_7pt(
+                conditioning.apply_transform(T1, a),
+                conditioning.apply_transform(T2, b))
+            Fs = jnp.swapaxes(T2, 0, 1) @ Fs @ T1
+            return Fs, ok
+        max_models = 3
+
+    def err(F, data):
+        a, b = data
+        return fundamental.point_line_error_sq(F, a, b)
+
+    return ransac.ac_ransac(
+        key, fit, err, (x1, x2), valid,
+        min_samples=8 if use_8pt else 7,
+        logalpha0=ransac.logalpha0_point_to_line(w2, h2),
+        mult_error=ransac.MULT_ERROR_POINT_TO_LINE,
+        max_models=max_models, n_samples=n_samples,
+        precision_sq=precision_sq)
+
+
+# ---------------------------------------------------------------------------
+# homography (pixels)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_homography(key, x1, x2, valid, w1, h1, w2, h2,
+                      n_samples=1024, precision_sq=jnp.inf):
+    T1 = conditioning.preconditioner_from_size(w1, h1, x1.dtype)
+    T2 = conditioning.preconditioner_from_size(w2, h2, x2.dtype)
+    T2inv = jnp.linalg.inv(T2)
+
+    def fit(sub):
+        a, b = sub
+        H = homography.solve_homography(
+            conditioning.apply_transform(T1, a),
+            conditioning.apply_transform(T2, b))
+        H = T2inv @ H @ T1
+        return H[None], jnp.ones((1,), bool)
+
+    def err(H, data):
+        a, b = data
+        return homography.asymmetric_error_sq(H, a, b)
+
+    return ransac.ac_ransac(
+        key, fit, err, (x1, x2), valid, min_samples=4,
+        logalpha0=ransac.logalpha0_point_to_point(w2, h2),
+        mult_error=ransac.MULT_ERROR_POINT_TO_POINT,
+        max_models=1, n_samples=n_samples, precision_sq=precision_sq)
+
+
+# ---------------------------------------------------------------------------
+# essential via 5pt, pixel NFA (pinhole path of robustRelativePose)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_essential(key, b1, b2, x1, x2, K1, K2, valid, w2, h2,
+                     n_samples=1024, precision_sq=jnp.inf):
+    """5-pt AC-RANSAC E.  b* (N,3) unit bearings, x* (N,2) pixels.
+
+    Residual: pixel point-to-line distance through F = K2^-T E K1^-1
+    (ACKernelAdaptorEssential::Errors).
+    """
+    K1inv = jnp.linalg.inv(K1)
+    K2invT = jnp.linalg.inv(K2).T
+
+    def fit(sub):
+        a, b = sub
+        return essential.solve_essential_5pt(a, b)
+
+    def err(E, data):
+        a, b = data
+        F = K2invT @ E @ K1inv
+        return fundamental.point_line_error_sq(F, x1, x2)
+
+    return ransac.ac_ransac(
+        key, fit, err, (b1, b2), valid, min_samples=5,
+        logalpha0=ransac.logalpha0_point_to_line(w2, h2, 0.5),
+        mult_error=ransac.MULT_ERROR_POINT_TO_LINE,
+        max_models=10, n_samples=n_samples, precision_sq=precision_sq)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_essential_angular(key, b1, b2, valid,
+                             n_samples=1024, precision_sq=jnp.inf):
+    """8-pt AC-RANSAC on bearings with angular error (spherical-capable
+    path; ACKernelAdaptor_AngularRadianError)."""
+    def fit(sub):
+        a, b = sub
+        E = essential.solve_essential_8pt(a, b)
+        return E[None], jnp.ones((1,), bool)
+
+    def err(E, data):
+        a, b = data
+        return essential.angular_error(E, a, b)
+
+    return ransac.ac_ransac(
+        key, fit, err, (b1, b2), valid, min_samples=8,
+        logalpha0=ransac.LOGALPHA0_ANGULAR,
+        mult_error=ransac.MULT_ERROR_ANGULAR,
+        max_models=1, n_samples=n_samples, precision_sq=precision_sq)
+
+
+# ---------------------------------------------------------------------------
+# robustRelativePose
+# ---------------------------------------------------------------------------
+
+class RelativePoseInfo(NamedTuple):
+    R: jnp.ndarray          # (3, 3) world0->world1 relative rotation
+    t: jnp.ndarray          # (3,) unit-norm relative translation
+    essential: jnp.ndarray  # (3, 3)
+    inliers: jnp.ndarray    # (N,) bool
+    threshold_sq: jnp.ndarray
+    nfa: jnp.ndarray
+    found: jnp.ndarray      # bool: NFA ok AND inliers > 2.5*min_samples
+
+
+@partial(jax.jit, static_argnames=("n_samples", "angular"))
+def robust_relative_pose(key, b1, b2, x1, x2, K1, K2, valid, w2, h2,
+                         n_samples=1024, precision_sq=jnp.inf, angular=False):
+    """sfm_robust_model_estimation.cpp:29-120 as one batched call."""
+    if angular:
+        res = robust_essential_angular(key, b1, b2, valid,
+                                       n_samples=n_samples,
+                                       precision_sq=precision_sq)
+        min_samples = 8
+    else:
+        res = robust_essential(key, b1, b2, x1, x2, K1, K2, valid, w2, h2,
+                               n_samples=n_samples, precision_sq=precision_sq)
+        min_samples = 5
+    E = res.model
+    w = res.inliers.astype(E.dtype)
+    R, t, n_good = essential.relative_pose_from_essential(E, b1, b2, weights=w)
+    found = res.found & (jnp.sum(res.inliers) > 2.5 * min_samples) & (n_good > 0)
+    return RelativePoseInfo(R=R, t=t, essential=E, inliers=res.inliers,
+                            threshold_sq=res.threshold_sq, nfa=res.nfa,
+                            found=found)
+
+
+# ---------------------------------------------------------------------------
+# resection (localization): P3P + pixel reprojection NFA
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_resection_p3p(key, bearings, x2d, X3d, K, valid, w, h,
+                         n_samples=1024, precision_sq=jnp.inf):
+    """AC-RANSAC P3P pose (SfM_Localizer::Localize with SolverType
+    P3P_*; ACKernelAdaptorResection_K).  Returns pose as (R, t) world->cam
+    in the model pytree."""
+    def fit(sub):
+        b, X = sub
+        R, t, ok = resection.solve_p3p(b, X)
+        return (R, t), ok
+
+    def err(model, data):
+        R, t = model
+        _, X = data
+        Xc = X @ R.T + t
+        p = Xc[..., :2] / jnp.where(
+            jnp.abs(Xc[..., 2:3]) < 1e-30, 1e-30, Xc[..., 2:3])
+        pix = p @ K[:2, :2].T + K[:2, 2]
+        d = pix - x2d
+        return jnp.sum(d * d, axis=-1)
+
+    return ransac.ac_ransac(
+        key, fit, err, (bearings, X3d), valid, min_samples=3,
+        logalpha0=ransac.logalpha0_point_to_point(w, h),
+        mult_error=ransac.MULT_ERROR_POINT_TO_POINT,
+        max_models=4, n_samples=n_samples, precision_sq=precision_sq)
