@@ -107,7 +107,7 @@ def cam2ima(kind, params, width, height, p):
     f = params[..., 0:1]
     pp = params[..., 1:3]
     pin = f * p + pp
-    size = jnp.maximum(width, height)
+    size = jnp.maximum(width, height)[..., None]
     sph = p * size + jnp.stack([width, height], axis=-1) * 0.5
     return jnp.where(kind[..., None] == SPHERICAL, sph, pin)
 
@@ -117,7 +117,7 @@ def ima2cam(kind, params, width, height, p):
     f = params[..., 0:1]
     pp = params[..., 1:3]
     pin = (p - pp) / f
-    size = jnp.maximum(width, height)
+    size = jnp.maximum(width, height)[..., None]
     sph = (p - jnp.stack([width, height], axis=-1) * 0.5) / size
     return jnp.where(kind[..., None] == SPHERICAL, sph, pin)
 

@@ -1,0 +1,396 @@
+"""From-scratch bundle adjustment: Levenberg-Marquardt with implicit
+Schur-complement preconditioned CG — the Ceres replacement.
+
+Reference parity: sfm/sfm_data_BA_ceres.cpp Bundle_Adjustment_Ceres::Adjust
+(:165-560) — angle-axis + translation pose blocks, per-camera-model
+reprojection residuals (sfm_data_BA_ceres_camera_functor.hpp), Huber loss
+with a = 4^2 (:170), subset parameterizations holding intrinsics/extrinsics
+parts constant (:275-344), DENSE_SCHUR/SPARSE_SCHUR point elimination.
+
+TPU-first design:
+  * one flat observation table (pose id, intrinsic id, point id, pixel) —
+    residuals and Jacobian blocks come from a single vmapped jacfwd over a
+    pure per-observation function: (O,2,6) pose, (O,2,8) intrinsic,
+    (O,2,3) point blocks.
+  * Schur complement is never formed: CG on the reduced camera system runs
+    J-products + per-point 3x3 solves + segment_sums (the ITERATIVE_SCHUR
+    pattern), with a block-Jacobi preconditioner from the camera diagonal
+    blocks.  Everything is scatter/gather/segment_sum — XLA-friendly, and
+    the same code shards over hosts by splitting the observation table
+    (camera/point states psum-reduced, see parallel/).
+  * LM outer loop is a host loop over one jitted `lm_step`; damping scales
+    the JtJ diagonal (Marquardt).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmvg_tpu.geometry import so3
+from openmvg_tpu.models import cameras as cm
+
+# refine-option masks, parity with Intrinsic_Parameter_Type / Extrinsic_Parameter_Type
+ADJUST_ALL = "ALL"
+ADJUST_NONE = "NONE"
+
+
+class BAProblem(NamedTuple):
+    """Device-side BA problem; all ids are dense int32, padding via obs_w=0."""
+
+    obs_pose: jnp.ndarray   # (O,)
+    obs_intr: jnp.ndarray   # (O,)
+    obs_point: jnp.ndarray  # (O,)
+    obs_x: jnp.ndarray      # (O, 2)
+    obs_w: jnp.ndarray      # (O,) 0/1 (or confidence)
+    rotvec: jnp.ndarray     # (P, 3) axis-angle of world->cam R
+    t: jnp.ndarray          # (P, 3) translation (x_c = R X + t)
+    intr_kind: jnp.ndarray  # (I,)
+    intr_wh: jnp.ndarray    # (I, 2)
+    intr_params: jnp.ndarray  # (I, 8)
+    X: jnp.ndarray          # (L, 3)
+    mask_pose: jnp.ndarray  # (P, 6) 1 = free
+    mask_intr: jnp.ndarray  # (I, 8)
+    mask_X: jnp.ndarray     # (L,) 1 = free
+
+
+class BAConfig(NamedTuple):
+    huber_a: float = 16.0      # ceres HuberLoss(Square(4.0)) parity
+    max_iterations: int = 50
+    cg_iterations: int = 60
+    cg_tol: float = 1e-6
+    lam_init: float = 1e-4
+    lam_up: float = 4.0
+    lam_down: float = 0.5
+    use_huber: bool = True
+
+
+# ---------------------------------------------------------------------------
+# residuals / jacobians
+# ---------------------------------------------------------------------------
+
+def _residual_one(pose6, intr8, X, kind, wh, x_obs):
+    """Per-observation reprojection residual (2,), pure in all params."""
+    R = so3.expmap(pose6[:3])
+    Xc = R @ X + pose6[3:]
+    return cm.residual(kind, intr8, wh[0], wh[1], Xc, x_obs)
+
+
+def _gather_params(p: BAProblem):
+    pose6 = jnp.concatenate([p.rotvec, p.t], axis=-1)  # (P, 6)
+    return (
+        pose6[p.obs_pose],          # (O, 6)
+        p.intr_params[p.obs_intr],  # (O, 8)
+        p.X[p.obs_point],           # (O, 3)
+        p.intr_kind[p.obs_intr],
+        p.intr_wh[p.obs_intr],
+    )
+
+
+def residuals(p: BAProblem):
+    g = _gather_params(p)
+    r = jax.vmap(_residual_one)(g[0], g[1], g[2], g[3], g[4], p.obs_x)
+    return r  # (O, 2)
+
+
+def _huber_sqrt_weight(r, a, use_huber):
+    """sqrt of IRLS weight for ceres HuberLoss(a): rho(s)=s for s<=a^2...
+    ceres HuberLoss(a): rho(s) = s if s <= a else 2*sqrt(a*s) - a.
+    weight = rho'(s) = 1 or sqrt(a/s)."""
+    if not use_huber:
+        return jnp.ones_like(r[..., 0])
+    s = jnp.sum(r * r, axis=-1)
+    w = jnp.where(s <= a, 1.0, jnp.sqrt(a / jnp.maximum(s, 1e-30)))
+    return jnp.sqrt(w)
+
+
+def robust_cost(p: BAProblem, cfg: BAConfig):
+    """Total robustified cost 0.5 * sum rho(|r|^2) over weighted obs."""
+    r = residuals(p)
+    s = jnp.sum(r * r, axis=-1)
+    if cfg.use_huber:
+        a = cfg.huber_a
+        rho = jnp.where(s <= a, s, 2.0 * jnp.sqrt(a * jnp.maximum(s, 0)) - a)
+    else:
+        rho = s
+    return 0.5 * jnp.sum(rho * p.obs_w)
+
+
+def jacobians(p: BAProblem, cfg: BAConfig):
+    """Weighted residuals and Jacobian blocks with masks applied."""
+    g = _gather_params(p)
+    jac_fn = jax.vmap(jax.jacfwd(_residual_one, argnums=(0, 1, 2)))
+    Jp6, Ji8, Jx3 = jac_fn(g[0], g[1], g[2], g[3], g[4], p.obs_x)
+    r = jax.vmap(_residual_one)(g[0], g[1], g[2], g[3], g[4], p.obs_x)
+    w = _huber_sqrt_weight(r, cfg.huber_a, cfg.use_huber) * p.obs_w
+    r = r * w[:, None]
+    Jp6 = Jp6 * w[:, None, None] * p.mask_pose[p.obs_pose][:, None, :]
+    Ji8 = Ji8 * w[:, None, None] * p.mask_intr[p.obs_intr][:, None, :]
+    Jx3 = Jx3 * w[:, None, None] * p.mask_X[p.obs_point][:, None, None]
+    return r, Jp6, Ji8, Jx3
+
+
+# ---------------------------------------------------------------------------
+# Schur-CG solve
+# ---------------------------------------------------------------------------
+
+def _seg_sum(vals, ids, num):
+    return jax.ops.segment_sum(vals, ids, num_segments=num)
+
+
+def _solve_sym3(A, b):
+    """Batch solve of (N,3,3) SPD systems (Hpp blocks)."""
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+def _camera_matvec(vc_pose, vc_intr, p, Jp6, Ji8):
+    """u_o = Jc_o @ v for the camera half: (O, 2)."""
+    up = jnp.einsum("oij,oj->oi", Jp6, vc_pose[p.obs_pose])
+    ui = jnp.einsum("oij,oj->oi", Ji8, vc_intr[p.obs_intr])
+    return up + ui
+
+
+def _camera_rmatvec(u, p, Jp6, Ji8, n_pose, n_intr):
+    """Jc^T u scattered back to (P,6), (I,8)."""
+    gp = _seg_sum(jnp.einsum("oij,oi->oj", Jp6, u), p.obs_pose, n_pose)
+    gi = _seg_sum(jnp.einsum("oij,oi->oj", Ji8, u), p.obs_intr, n_intr)
+    return gp, gi
+
+
+def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig):
+    """One damped normal-equation solve.  Returns (d_pose (P,6),
+    d_intr (I,8), d_X (L,3), predicted_gain)."""
+    n_pose = p.rotvec.shape[0]
+    n_intr = p.intr_params.shape[0]
+    n_pts = p.X.shape[0]
+
+    # point blocks Hpp = sum Jx^T Jx + lam*diag, and their damped inverse
+    Hpp = _seg_sum(jnp.einsum("oij,oik->ojk", Jx3, Jx3), p.obs_point, n_pts)
+    dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    damp_pp = jnp.maximum(dpp, 1e-12)
+    Hpp = Hpp + lam * damp_pp[..., None] * jnp.eye(3, dtype=Hpp.dtype)
+    # fixed/padded points get an identity block (zero rhs -> zero update)
+    Hpp = Hpp + ((1.0 - p.mask_X) + 1e-12)[:, None, None] * jnp.eye(3, dtype=Hpp.dtype)
+
+    # gradient
+    gp, gi = _camera_rmatvec(-r, p, Jp6, Ji8, n_pose, n_intr)
+    gx = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, -r), p.obs_point, n_pts)
+
+    # camera diagonal blocks for damping + preconditioner
+    Hcc_p = _seg_sum(jnp.einsum("oij,oik->ojk", Jp6, Jp6), p.obs_pose, n_pose)
+    Hcc_i = _seg_sum(jnp.einsum("oij,oik->ojk", Ji8, Ji8), p.obs_intr, n_intr)
+    dcc_p = jnp.maximum(jnp.diagonal(Hcc_p, axis1=-2, axis2=-1), 1e-12)
+    dcc_i = jnp.maximum(jnp.diagonal(Hcc_i, axis1=-2, axis2=-1), 1e-12)
+
+    Hpp_inv_gx = _solve_sym3(Hpp, gx)
+
+    # reduced RHS: b = gc - E Hpp^-1 gx  where E v = Jc^T (Jx v)
+    z = jnp.einsum("oij,oj->oi", Jx3, Hpp_inv_gx[p.obs_point])
+    bp, bi = _camera_rmatvec(z, p, Jp6, Ji8, n_pose, n_intr)
+    bp = gp - bp
+    bi = gi - bi
+
+    # masks: fixed params have zero J columns; keep their diag=1 so solves
+    # stay non-singular and updates stay zero
+    eye6 = jnp.eye(6, dtype=Hcc_p.dtype)
+    eye8 = jnp.eye(8, dtype=Hcc_i.dtype)
+    Mp = Hcc_p + lam * dcc_p[..., None] * eye6
+    Mi = Hcc_i + lam * dcc_i[..., None] * eye8
+    free_p = p.mask_pose
+    free_i = p.mask_intr
+    Mp = Mp * (free_p[:, :, None] * free_p[:, None, :]) + eye6 * (1.0 - free_p)[:, :, None]
+    Mi = Mi * (free_i[:, :, None] * free_i[:, None, :]) + eye8 * (1.0 - free_i)[:, :, None]
+
+    def S_matvec(v):
+        """S v = (B + lam D) v - E Hpp^-1 E^T v, all implicit via J."""
+        vp, vi = v
+        u = _camera_matvec(vp, vi, p, Jp6, Ji8)
+        w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts)
+        y = _solve_sym3(Hpp, w)
+        zz = jnp.einsum("oij,oj->oi", Jx3, y[p.obs_point])
+        sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr)
+        sp = sp + lam * dcc_p * vp
+        si = si + lam * dcc_i * vi
+        return sp, si
+
+    def M_inv(v):
+        vp, vi = v
+        return (jnp.linalg.solve(Mp, vp[..., None])[..., 0],
+                jnp.linalg.solve(Mi, vi[..., None])[..., 0])
+
+    # PCG on the reduced camera system
+    b = (bp, bi)
+
+    def dot(a, c):
+        return jnp.sum(a[0] * c[0]) + jnp.sum(a[1] * c[1])
+
+    x0 = (jnp.zeros_like(bp), jnp.zeros_like(bi))
+    r0 = b
+    z0 = M_inv(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    bnorm = jnp.sqrt(dot(b, b))
+
+    def cg_body(carry, _):
+        x, rr, pp_, rz = carry
+        Ap = S_matvec(pp_)
+        denom = dot(pp_, Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        x = (x[0] + alpha * pp_[0], x[1] + alpha * pp_[1])
+        rr = (rr[0] - alpha * Ap[0], rr[1] - alpha * Ap[1])
+        zz = M_inv(rr)
+        rz_new = dot(rr, zz)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        pp_ = (zz[0] + beta * pp_[0], zz[1] + beta * pp_[1])
+        return (x, rr, pp_, rz_new), jnp.sqrt(dot(rr, rr))
+
+    (xf, _, _, _), _ = jax.lax.scan(
+        cg_body, (x0, r0, p0, rz0), None, length=cfg.cg_iterations)
+    d_pose, d_intr = xf
+    d_pose = d_pose * p.mask_pose
+    d_intr = d_intr * p.mask_intr
+
+    # back-substitute points: d_X = Hpp^-1 (gx - E^T dc)
+    u = _camera_matvec(d_pose, d_intr, p, Jp6, Ji8)
+    w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts)
+    d_X = _solve_sym3(Hpp, gx - w) * p.mask_X[:, None]
+
+    # predicted model gain 0.5 * (d^T (lam*D d + g))  (standard LM formula)
+    gain = 0.5 * (
+        jnp.sum(d_pose * (lam * dcc_p * d_pose + gp))
+        + jnp.sum(d_intr * (lam * dcc_i * d_intr + gi))
+        + jnp.sum(d_X * (lam * jnp.maximum(dpp, 1e-12) * d_X + gx))
+    )
+    return d_pose, d_intr, d_X, gain
+
+
+def _apply_step(p: BAProblem, d_pose, d_intr, d_X):
+    return p._replace(
+        rotvec=p.rotvec + d_pose[:, :3],
+        t=p.t + d_pose[:, 3:],
+        intr_params=p.intr_params + d_intr,
+        X=p.X + d_X,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lm_step(p: BAProblem, lam, cfg: BAConfig):
+    """One LM iteration: solve, tentative step, accept/reject, adapt lam."""
+    cost0 = robust_cost(p, cfg)
+    r, Jp6, Ji8, Jx3 = jacobians(p, cfg)
+    d_pose, d_intr, d_X, gain = schur_cg_solve(p, r, Jp6, Ji8, Jx3, lam, cfg)
+    p_new = _apply_step(p, d_pose, d_intr, d_X)
+    cost1 = robust_cost(p_new, cfg)
+    accept = cost1 < cost0
+    p_out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(jnp.reshape(accept, (1,) * a.ndim), b, a),
+        p, p_new)
+    lam_new = jnp.where(accept, lam * cfg.lam_down, lam * cfg.lam_up)
+    return p_out, lam_new, jnp.where(accept, cost1, cost0), accept
+
+
+def adjust(p: BAProblem, cfg: BAConfig = BAConfig(), verbose=False):
+    """Full LM loop (host-driven over the jitted step).
+
+    Returns (problem, final_cost, n_accepted).
+    """
+    lam = jnp.asarray(cfg.lam_init, p.X.dtype)
+    cost = None
+    n_acc = 0
+    for it in range(cfg.max_iterations):
+        p, lam, cost, accept = lm_step(p, lam, cfg)
+        n_acc += int(accept)
+        if verbose:
+            print(f"  LM it={it} cost={float(cost):.6g} lam={float(lam):.3g} "
+                  f"accept={bool(accept)}")
+        if float(lam) > 1e10:
+            break
+    return p, float(cost), n_acc
+
+
+# ---------------------------------------------------------------------------
+# scene <-> problem
+# ---------------------------------------------------------------------------
+
+def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
+                       refine_intrinsics=ADJUST_NONE, refine_structure=True,
+                       dtype=jnp.float64):
+    """Build a BAProblem from a Scene (Optimize_Options parity).
+
+    refine_intrinsics: ADJUST_NONE | ADJUST_ALL | iterable of column ids.
+    Pose/intrinsic/landmark ids are compacted to the used subsets; returns
+    (problem, index_maps) where index_maps hold the original ids.
+    """
+    info = scene.obs_arrays_for_ba()
+    pose_ids = np.unique(info["pose_id"])
+    intr_ids = np.unique(info["intr_id"])
+    point_ids = np.unique(info["landmark_id"])
+    pose_map = {int(v): i for i, v in enumerate(pose_ids)}
+    intr_map = {int(v): i for i, v in enumerate(intr_ids)}
+    point_map = {int(v): i for i, v in enumerate(point_ids)}
+
+    obs_pose = np.vectorize(pose_map.get, otypes=[np.int32])(info["pose_id"]) \
+        if len(info["pose_id"]) else np.zeros(0, np.int32)
+    obs_intr = np.vectorize(intr_map.get, otypes=[np.int32])(info["intr_id"]) \
+        if len(info["intr_id"]) else np.zeros(0, np.int32)
+    obs_point = np.vectorize(point_map.get, otypes=[np.int32])(info["landmark_id"]) \
+        if len(info["landmark_id"]) else np.zeros(0, np.int32)
+
+    R = scene.pose_R[pose_ids]
+    C = scene.pose_C[pose_ids]
+    rotvec = np.asarray(so3.logmap(jnp.asarray(R)))
+    t = -np.einsum("nij,nj->ni", R, C)
+
+    mask_pose = np.zeros((len(pose_ids), 6))
+    if refine_rotation:
+        mask_pose[:, :3] = 1.0
+    if refine_translation:
+        mask_pose[:, 3:] = 1.0
+
+    mask_intr = np.zeros((len(intr_ids), 8))
+    kinds = np.asarray(scene.cameras.kind)[intr_ids]
+    if refine_intrinsics == ADJUST_ALL:
+        for i, k in enumerate(kinds):
+            mask_intr[i, : cm.N_PARAMS[int(k)]] = 1.0
+    elif refine_intrinsics != ADJUST_NONE:
+        for col in refine_intrinsics:
+            mask_intr[:, col] = 1.0
+        for i, k in enumerate(kinds):
+            mask_intr[i, cm.N_PARAMS[int(k)]:] = 0.0
+
+    p = BAProblem(
+        obs_pose=jnp.asarray(obs_pose),
+        obs_intr=jnp.asarray(obs_intr),
+        obs_point=jnp.asarray(obs_point),
+        obs_x=jnp.asarray(info["x"], dtype),
+        obs_w=jnp.ones(len(obs_pose), dtype),
+        rotvec=jnp.asarray(rotvec, dtype),
+        t=jnp.asarray(t, dtype),
+        intr_kind=jnp.asarray(scene.cameras.kind)[jnp.asarray(intr_ids)],
+        intr_wh=jnp.stack([jnp.asarray(scene.cameras.width, dtype)[jnp.asarray(intr_ids)],
+                           jnp.asarray(scene.cameras.height, dtype)[jnp.asarray(intr_ids)]], -1),
+        intr_params=jnp.asarray(scene.cameras.params, dtype)[jnp.asarray(intr_ids)],
+        X=jnp.asarray(scene.X[point_ids], dtype),
+        mask_pose=jnp.asarray(mask_pose, dtype),
+        mask_intr=jnp.asarray(mask_intr, dtype),
+        mask_X=jnp.ones(len(point_ids), dtype) * (1.0 if refine_structure else 0.0),
+    )
+    return p, dict(pose_ids=pose_ids, intr_ids=intr_ids, point_ids=point_ids)
+
+
+def scene_from_problem(scene, p: BAProblem, maps):
+    """Write optimized parameters back into the Scene (in place)."""
+    R = np.asarray(so3.expmap(p.rotvec))
+    t = np.asarray(p.t)
+    C = -np.einsum("nji,nj->ni", R, t)
+    scene.pose_R[maps["pose_ids"]] = R
+    scene.pose_C[maps["pose_ids"]] = C
+    params = np.asarray(p.intr_params)
+    cams = scene.cameras
+    newp = np.asarray(cams.params).copy()
+    newp[maps["intr_ids"]] = params
+    scene.cameras = cams._replace(params=newp)
+    scene.X[maps["point_ids"]] = np.asarray(p.X)
+    return scene
