@@ -1,0 +1,134 @@
+"""Scene outlier filters and stability erasure.
+
+Reference parity: sfm/sfm_data_filters.cpp —
+  RemoveOutliers_PixelResidualError(:41-73): drop observations with
+    |residual| > threshold, then landmarks with < minTrackLength obs
+  RemoveOutliers_AngleError(:76-...): drop landmarks whose maximum pairwise
+    ray angle over observations is below a minimum (default 2 deg)
+  eraseUnstablePoses / eraseObservationsWithMissingPoses /
+  eraseUnstablePosesAndObservations(:77 header): iteratively drop poses
+    supporting < min_points_per_pose obs and landmarks with
+    < min_points_per_landmark obs.
+
+All vectorized numpy over the flat observation table (host side: these run
+between device BA calls and mutate the Scene masks in place).
+"""
+
+import numpy as np
+
+from openmvg_tpu.sfm.scene import Scene, reprojection_residuals
+
+
+def remove_outliers_pixel_residual(scene: Scene, threshold_px=4.0,
+                                   min_track_length=2) -> int:
+    r, info = reprojection_residuals(scene)
+    if len(r) == 0:
+        return 0
+    bad = np.linalg.norm(r, axis=1) > threshold_px
+    out_idx = info["obs_idx"][bad]
+    scene.obs_valid[out_idx] = False
+    _drop_short_tracks(scene, min_track_length)
+    return int(bad.sum())
+
+
+def _drop_short_tracks(scene: Scene, min_track_length):
+    counts = np.bincount(scene.obs_landmark[scene.obs_valid],
+                         minlength=len(scene.X_valid))
+    short = counts < min_track_length
+    scene.X_valid &= ~short
+    scene.obs_valid &= ~short[scene.obs_landmark]
+
+
+def remove_outliers_angle_error(scene: Scene, min_angle_deg=2.0) -> int:
+    """Landmarks whose max pairwise observation-ray angle < min_angle.
+
+    Max pairwise angle of unit rays == largest principal spread; computed
+    exactly per landmark via the max over observation pairs using a
+    grouped O(sum k_l^2) evaluation, vectorized with a segment trick:
+    for moderate track lengths we use the bound via ray-centroid —
+    the exact pairwise max is evaluated in blocks.
+    """
+    from openmvg_tpu.models.cameras import bearing
+    import jax.numpy as jnp
+
+    ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
+    pid = scene.view_pose[scene.obs_view]
+    ok &= (pid >= 0) & scene.pose_valid[np.clip(pid, 0, max(scene.n_poses - 1, 0))]
+    idx = np.nonzero(ok)[0]
+    if len(idx) == 0:
+        return 0
+    iid = scene.view_intrinsic[scene.obs_view[idx]]
+    cams = scene.cameras
+    b = np.asarray(bearing(
+        jnp.asarray(np.asarray(cams.kind)[iid]),
+        jnp.asarray(np.asarray(cams.params)[iid]),
+        jnp.asarray(np.asarray(cams.width)[iid]),
+        jnp.asarray(np.asarray(cams.height)[iid]),
+        jnp.asarray(scene.obs_x[idx])))
+    rays = np.einsum("nji,nj->ni", scene.pose_R[pid[idx]], b)  # world rays
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+
+    lm = scene.obs_landmark[idx]
+    order = np.argsort(lm, kind="stable")
+    lm_s, rays_s = lm[order], rays[order]
+    starts = np.searchsorted(lm_s, np.arange(len(scene.X_valid)))
+    ends = np.searchsorted(lm_s, np.arange(len(scene.X_valid)) + 1)
+    cos_min_angle = np.cos(np.radians(min_angle_deg))
+    removed = 0
+    bad_landmarks = []
+    for l in np.nonzero(scene.X_valid)[0]:
+        s, e = starts[l], ends[l]
+        if e - s < 2:
+            continue
+        G = rays_s[s:e] @ rays_s[s:e].T
+        np.fill_diagonal(G, 1.0)
+        if G.min() > cos_min_angle:  # max angle below threshold
+            bad_landmarks.append(l)
+    if bad_landmarks:
+        bad = np.asarray(bad_landmarks)
+        scene.X_valid[bad] = False
+        scene.obs_valid &= scene.X_valid[scene.obs_landmark]
+        removed = len(bad)
+    return removed
+
+
+def erase_unstable_poses_and_observations(scene: Scene,
+                                          min_points_per_pose=6,
+                                          min_points_per_landmark=2) -> bool:
+    """Iterate pose/observation erasure to a fixed point
+    (sfm_data_filters.hpp:77 eraseUnstablePosesAndObservations)."""
+    changed_any = False
+    while True:
+        changed = False
+        # pose support counts
+        ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
+        pid = scene.view_pose[scene.obs_view]
+        pid_ok = (pid >= 0) & scene.pose_valid[np.clip(pid, 0, max(scene.n_poses - 1, 0))]
+        counts = np.bincount(pid[ok & pid_ok], minlength=scene.n_poses)
+        weak = scene.pose_valid & (counts < min_points_per_pose)
+        if weak.any():
+            scene.pose_valid &= ~weak
+            changed = True
+        # observations referencing dropped poses
+        pid_ok = (pid >= 0) & scene.pose_valid[np.clip(pid, 0, max(scene.n_poses - 1, 0))]
+        drop = scene.obs_valid & ~pid_ok
+        if drop.any():
+            scene.obs_valid &= pid_ok
+            changed = True
+        # short landmarks
+        before = scene.X_valid.copy()
+        _drop_short_tracks(scene, min_points_per_landmark)
+        if (before != scene.X_valid).any():
+            changed = True
+        changed_any |= changed
+        if not changed:
+            return changed_any
+
+
+def bad_track_rejector(scene: Scene, precision_px=4.0, count_threshold=50,
+                       min_angle_deg=2.0) -> bool:
+    """sequential_SfM.cpp:1226 badTrackRejector: returns True if more than
+    `count_threshold` outliers were removed (meaning BA should rerun)."""
+    n1 = remove_outliers_pixel_residual(scene, precision_px, 2)
+    n2 = remove_outliers_angle_error(scene, min_angle_deg)
+    return (n1 + n2) > count_threshold

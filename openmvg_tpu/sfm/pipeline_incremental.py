@@ -1,0 +1,424 @@
+"""Incremental (sequential) SfM reconstruction engine.
+
+Reference parity: sfm/pipelines/sequential/sequential_SfM.cpp
+SequentialSfMReconstructionEngine —
+  Process (:143): tracks init -> automatic initial pair -> initial 3D ->
+  loop { FindImagesWithPossibleResection (>= 75% of best 2D-3D count, :768)
+         -> Resection (AC-RANSAC P3P, pose refine, new-track triangulation,
+            :863-1187)
+         -> BundleAdjustment until badTrackRejector(4.0, 50) (:1190-1232)
+         -> eraseUnstablePosesAndObservations }
+  AutomaticInitialPairChoice (:317-450): pairs scored by robust relative
+  pose support with median triangulation angle in [3, 60] deg.
+
+TPU recast: the outer loop stays on host (it is inherently sequential);
+every inner step is one batched device call — AC-RANSAC over the pair/view
+correspondences, N-view triangulation over all new tracks at once, and the
+Schur-CG BA over the whole scene.
+"""
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmvg_tpu.models import cameras as cm
+from openmvg_tpu.sfm import ba, filters, robust
+from openmvg_tpu.sfm.scene import Scene, rmse
+from openmvg_tpu.sfm.scene_triangulation import triangulate_tracks
+from openmvg_tpu.sfm.tracks import Tracks, build_tracks
+from openmvg_tpu.geometry.pose import pose_from_Rt
+
+
+@dataclasses.dataclass
+class IncrementalConfig:
+    initial_pair: Optional[Tuple[int, int]] = None
+    ransac_samples: int = 1024
+    resection_samples: int = 1024
+    min_angle_init_deg: float = 3.0
+    max_angle_init_deg: float = 60.0
+    min_init_inliers: int = 100
+    resection_pct: float = 0.75       # FindImagesWithPossibleResection ratio
+    min_resection_inliers_factor: float = 2.5
+    triangulation_angle_deg: float = 2.0
+    max_residual_px: float = 4.0
+    ba_iterations: int = 30
+    refine_intrinsics: object = ba.ADJUST_ALL
+    min_points_per_pose: int = 6
+    verbose: bool = False
+    max_candidate_pairs: int = 20
+    dtype: object = jnp.float64
+
+
+def _log(cfg, *msg):
+    if cfg.verbose:
+        print("[incremental]", *msg)
+
+
+class _TrackIndex:
+    """Per-view and per-track lookup over the flat track table."""
+
+    def __init__(self, tracks: Tracks, features: List[np.ndarray]):
+        self.tracks = tracks
+        self.features = features
+        self.n_tracks = tracks.n_tracks
+        order = np.argsort(tracks.view_id, kind="stable")
+        self._by_view = {}
+        vs = tracks.view_id[order]
+        for v in np.unique(vs):
+            sel = order[vs == v]
+            self._by_view[int(v)] = sel
+        # pixel position of every track observation
+        self.obs_xy = np.zeros((len(tracks.track_id), 2))
+        for v, sel in self._by_view.items():
+            self.obs_xy[sel] = features[v][tracks.feat_id[sel], :2]
+
+    def rows_of_view(self, v):
+        return self._by_view.get(int(v), np.zeros(0, np.int64))
+
+
+def _bearings(scene, view_ids, xy):
+    iid = scene.view_intrinsic[view_ids]
+    cams = scene.cameras
+    b = cm.bearing(jnp.asarray(np.asarray(cams.kind)[iid]),
+                   jnp.asarray(np.asarray(cams.params)[iid]),
+                   jnp.asarray(np.asarray(cams.width)[iid]),
+                   jnp.asarray(np.asarray(cams.height)[iid]),
+                   jnp.asarray(xy))
+    return np.asarray(b)
+
+
+def _pad_pow2(arrs, n, lo=64):
+    k = lo
+    while k < n:
+        k *= 2
+    out = []
+    for a in arrs:
+        pad = np.zeros((k - n,) + a.shape[1:], a.dtype)
+        out.append(np.concatenate([a, pad], axis=0))
+    return out, k
+
+
+def _shared_track_corr(index: _TrackIndex, va, vb):
+    """Correspondences (xa, xb, track_ids) for tracks seen in both views."""
+    ra = index.rows_of_view(va)
+    rb = index.rows_of_view(vb)
+    ta = index.tracks.track_id[ra]
+    tb = index.tracks.track_id[rb]
+    common, ia, ib = np.intersect1d(ta, tb, return_indices=True)
+    return index.obs_xy[ra[ia]], index.obs_xy[rb[ib]], common
+
+
+def _try_pair(scene, index, cfg, key, va, vb):
+    """Robust relative pose for one candidate pair; returns score info."""
+    xa, xb, track_ids = _shared_track_corr(index, va, vb)
+    n = len(track_ids)
+    if n < max(cfg.min_init_inliers // 2, 15):
+        return None
+    ba_ = _bearings(scene, np.full(n, va), xa)
+    bb_ = _bearings(scene, np.full(n, vb), xb)
+    (xa_p, xb_p, ba_p, bb_p), k = _pad_pow2([xa, xb, ba_, bb_], n)
+    valid = np.arange(k) < n
+    iid_a = scene.view_intrinsic[va]
+    iid_b = scene.view_intrinsic[vb]
+    Ka = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid_a])))
+    Kb = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid_b])))
+    wh_b = scene.view_wh[vb]
+    info = robust.robust_relative_pose(
+        key, jnp.asarray(ba_p), jnp.asarray(bb_p), jnp.asarray(xa_p),
+        jnp.asarray(xb_p), jnp.asarray(Ka), jnp.asarray(Kb),
+        jnp.asarray(valid), float(wh_b[0]), float(wh_b[1]),
+        n_samples=cfg.ransac_samples)
+    if not bool(info.found):
+        return None
+    inl = np.asarray(info.inliers)[:n]
+    # median triangulation angle over inliers
+    R = np.asarray(info.R)
+    t = np.asarray(info.t)
+    rays_a = ba_[inl]
+    rays_b = np.einsum("ji,nj->ni", R, bb_[inl])  # rotate cam-b rays to cam-a
+    cosang = np.clip(np.sum(rays_a * rays_b, 1), -1, 1)
+    med_angle = float(np.degrees(np.median(np.arccos(cosang)))) if inl.sum() else 0.0
+    return dict(view_a=va, view_b=vb, R=R, t=t, inliers=inl,
+                track_ids=track_ids, n_inliers=int(inl.sum()),
+                med_angle=med_angle,
+                threshold_px=float(np.sqrt(float(info.threshold_sq))))
+
+
+def choose_initial_pair(scene, index, matches, cfg, key):
+    """AutomaticInitialPairChoice: try the most-connected candidate pairs."""
+    cand = sorted(matches.keys(),
+                  key=lambda p: -len(matches[p]))[: cfg.max_candidate_pairs]
+    best, best_score = None, -1.0
+    for i, (va, vb) in enumerate(cand):
+        r = _try_pair(scene, index, cfg, jax.random.fold_in(key, i), va, vb)
+        if r is None:
+            continue
+        in_range = cfg.min_angle_init_deg <= r["med_angle"] <= cfg.max_angle_init_deg
+        score = r["n_inliers"] * (1.0 if in_range else 0.05)
+        if score > best_score:
+            best, best_score = r, score
+    return best
+
+
+def _append_observations(scene, track_rows, index, landmark_of_track):
+    """Add track observations (view, xy, feat) to the scene obs table."""
+    tr = index.tracks
+    ol = landmark_of_track[tr.track_id[track_rows]]
+    scene.obs_landmark = np.concatenate([scene.obs_landmark, ol.astype(np.int32)])
+    scene.obs_view = np.concatenate([scene.obs_view, tr.view_id[track_rows]])
+    scene.obs_x = np.concatenate([scene.obs_x, index.obs_xy[track_rows]])
+    scene.obs_feat = np.concatenate([scene.obs_feat, tr.feat_id[track_rows]])
+    scene.obs_valid = np.concatenate([scene.obs_valid, np.ones(len(track_rows), bool)])
+
+
+def _run_ba(scene, cfg, refine_intrinsics=None):
+    prob, maps = ba.problem_from_scene(
+        scene,
+        refine_intrinsics=cfg.refine_intrinsics if refine_intrinsics is None
+        else refine_intrinsics,
+        dtype=cfg.dtype)
+    if prob.obs_pose.shape[0] == 0:
+        return
+    prob, cost, _ = ba.adjust(prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
+    ba.scene_from_problem(scene, prob, maps)
+
+
+def incremental_sfm(scene: Scene, features: List[np.ndarray],
+                    matches: Dict[Tuple[int, int], np.ndarray],
+                    cfg: IncrementalConfig = IncrementalConfig(),
+                    seed: int = 0):
+    """Run the full incremental pipeline; mutates and returns `scene`.
+
+    features[v]: (N_v, >=2) array of feature positions for view v.
+    matches[(i, j)]: (M, 2) feature index pairs.
+    """
+    key = jax.random.PRNGKey(seed)
+    tracks = build_tracks(matches, min_length=2)
+    index = _TrackIndex(tracks, features)
+    _log(cfg, f"{tracks.n_tracks} tracks")
+
+    # landmark slot per track (-1 = not reconstructed)
+    landmark_of_track = np.full(tracks.n_tracks, -1, np.int64)
+
+    # ---- initial pair --------------------------------------------------
+    if cfg.initial_pair is not None:
+        init = _try_pair(scene, index, cfg, key, *cfg.initial_pair)
+        if init is None:
+            raise RuntimeError("configured initial pair failed")
+    else:
+        init = choose_initial_pair(scene, index, matches, cfg, key)
+        if init is None:
+            raise RuntimeError("no valid initial pair found")
+    va, vb = init["view_a"], init["view_b"]
+    _log(cfg, f"initial pair ({va},{vb}) inliers={init['n_inliers']} "
+              f"angle={init['med_angle']:.1f}")
+
+    # poses: a = identity; b = relative
+    pa, pb = scene.view_pose[va], scene.view_pose[vb]
+    scene.pose_valid[pa] = True
+    scene.pose_R[pa] = np.eye(3)
+    scene.pose_C[pa] = 0.0
+    scene.pose_valid[pb] = True
+    scene.pose_R[pb] = init["R"]
+    scene.pose_C[pb] = -init["R"].T @ init["t"]
+
+    # triangulate initial tracks (inliers of the pair)
+    init_tracks = init["track_ids"][init["inliers"]]
+    _reconstruct_tracks(scene, index, init_tracks, landmark_of_track, cfg)
+    _run_ba(scene, cfg)
+    while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+        _run_ba(scene, cfg)
+    _log(cfg, f"init: {scene.n_landmarks} landmarks rmse={rmse(scene):.3f}")
+
+    posed = {int(va), int(vb)}
+    failed_rounds: Dict[int, int] = {}
+
+    # ---- incremental loop ---------------------------------------------
+    round_id = 0
+    while True:
+        round_id += 1
+        group = _find_resection_group(scene, index, posed, landmark_of_track,
+                                      cfg, failed_rounds)
+        if not group:
+            break
+        added = 0
+        for j, v in enumerate(group):
+            ok = _resect_view(scene, index, v, landmark_of_track, cfg,
+                              jax.random.fold_in(key, 1000 * round_id + j))
+            if ok:
+                posed.add(int(v))
+                added += 1
+            else:
+                failed_rounds[int(v)] = failed_rounds.get(int(v), 0) + 1
+        if added == 0:
+            break
+        # add observations of posed views to existing landmarks + new tracks
+        _grow_structure(scene, index, posed, landmark_of_track, cfg)
+        _run_ba(scene, cfg)
+        while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+            _run_ba(scene, cfg)
+        filters.erase_unstable_poses_and_observations(
+            scene, cfg.min_points_per_pose)
+        # reflect erased landmarks in the track map
+        gone = np.nonzero(~scene.X_valid)[0]
+        if len(gone):
+            mask = np.isin(landmark_of_track, gone)
+            landmark_of_track[mask] = -1
+        _log(cfg, f"round {round_id}: +{added} views "
+                  f"({len(posed)} total), {scene.n_landmarks} landmarks, "
+                  f"rmse={rmse(scene):.3f}")
+
+    # final: BA until stable
+    _run_ba(scene, cfg)
+    while filters.bad_track_rejector(scene, cfg.max_residual_px, 0):
+        _run_ba(scene, cfg)
+    _log(cfg, f"done: {len(posed)} poses, {scene.n_landmarks} landmarks, "
+              f"rmse={rmse(scene):.3f}")
+    return scene
+
+
+def _reconstruct_tracks(scene, index, track_ids, landmark_of_track, cfg):
+    """Triangulate the given tracks from all their posed observations and
+    register the successful ones as landmarks + observations."""
+    track_ids = np.asarray(track_ids)
+    track_ids = track_ids[landmark_of_track[track_ids] < 0]
+    if len(track_ids) == 0:
+        return 0
+    tr = index.tracks
+    rows = np.nonzero(np.isin(tr.track_id, track_ids))[0]
+    # keep only posed observations
+    pid = scene.view_pose[tr.view_id[rows]]
+    ok = (pid >= 0) & scene.pose_valid[np.clip(pid, 0, max(scene.n_poses - 1, 0))]
+    rows = rows[ok]
+    if len(rows) == 0:
+        return 0
+    remap = {int(t): i for i, t in enumerate(track_ids)}
+    tix = np.vectorize(remap.get, otypes=[np.int64])(tr.track_id[rows])
+    X, okt = triangulate_tracks(
+        scene, tr.view_id[rows], index.obs_xy[rows], tix, len(track_ids),
+        min_angle_deg=cfg.triangulation_angle_deg,
+        max_residual_px=cfg.max_residual_px)
+    good = np.nonzero(okt)[0]
+    if len(good) == 0:
+        return 0
+    base = len(scene.X_valid)
+    scene.X = np.concatenate([scene.X, X[good]])
+    scene.X_valid = np.concatenate([scene.X_valid, np.ones(len(good), bool)])
+    new_ids = np.full(len(track_ids), -1, np.int64)
+    new_ids[good] = base + np.arange(len(good))
+    landmark_of_track[track_ids] = new_ids
+    keep_rows = rows[new_ids[tix] >= 0]
+    _append_observations(scene, keep_rows, index, landmark_of_track)
+    return len(good)
+
+
+def _find_resection_group(scene, index, posed, landmark_of_track, cfg,
+                          failed_rounds):
+    """FindImagesWithPossibleResection: unposed views ranked by their count
+    of 2D-3D correspondences; keep those >= 75% of the best."""
+    counts = {}
+    for v in range(scene.n_views):
+        if v in posed or failed_rounds.get(v, 0) >= 3:
+            continue
+        rows = index.rows_of_view(v)
+        n = int(np.sum(landmark_of_track[index.tracks.track_id[rows]] >= 0))
+        if n >= 12:
+            counts[v] = n
+    if not counts:
+        return []
+    best = max(counts.values())
+    group = [v for v, n in counts.items() if n >= cfg.resection_pct * best]
+    return sorted(group, key=lambda v: -counts[v])
+
+
+def _resect_view(scene, index, v, landmark_of_track, cfg, key):
+    rows = index.rows_of_view(v)
+    lm = landmark_of_track[index.tracks.track_id[rows]]
+    sel = lm >= 0
+    rows, lm = rows[sel], lm[sel]
+    n = len(rows)
+    if n < 12:
+        return False
+    xy = index.obs_xy[rows]
+    b = _bearings(scene, np.full(n, v), xy)
+    X = scene.X[lm]
+    (xy_p, b_p, X_p), k = _pad_pow2([xy, b, X], n)
+    valid = np.arange(k) < n
+    iid = scene.view_intrinsic[v]
+    K = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid])))
+    wh = scene.view_wh[v]
+    res = robust.robust_resection_p3p(
+        key, jnp.asarray(b_p), jnp.asarray(xy_p), jnp.asarray(X_p),
+        jnp.asarray(K), jnp.asarray(valid), float(wh[0]), float(wh[1]),
+        n_samples=cfg.resection_samples)
+    n_inl = int(np.asarray(res.inliers)[:n].sum())
+    if not bool(res.found) or n_inl < cfg.min_resection_inliers_factor * 3:
+        return False
+    R, t = np.asarray(res.model[0]), np.asarray(res.model[1])
+    pid = scene.view_pose[v]
+    scene.pose_valid[pid] = True
+    scene.pose_R[pid] = R
+    scene.pose_C[pid] = -R.T @ t
+    _refine_pose_only(scene, v, cfg)
+    return True
+
+
+def _refine_pose_only(scene, v, cfg):
+    """SfM_Localizer::RefinePose — BA with only this view's pose free."""
+    pid = int(scene.view_pose[v])
+    prob, maps = ba.problem_from_scene(scene, refine_structure=False,
+                                       refine_intrinsics=ba.ADJUST_NONE,
+                                       dtype=cfg.dtype)
+    if prob.obs_pose.shape[0] == 0:
+        return
+    free = (maps["pose_ids"] == pid).astype(float)
+    prob = prob._replace(mask_pose=prob.mask_pose * jnp.asarray(free)[:, None])
+    prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=8))
+    ba.scene_from_problem(scene, prob, maps)
+
+
+def _grow_structure(scene, index, posed, landmark_of_track, cfg):
+    """Add observations of posed views to reconstructed tracks (residual
+    gated) and triangulate not-yet-reconstructed tracks with >= 2 posed
+    observations (Resection step 3, sequential_SfM.cpp:1000-1187)."""
+    tr = index.tracks
+    # tracks not yet reconstructed but visible in >= 2 posed views
+    posed_mask = np.zeros(scene.n_views, bool)
+    posed_mask[list(posed)] = True
+    rows_posed = posed_mask[tr.view_id]
+    cand = np.bincount(tr.track_id[rows_posed], minlength=index.n_tracks)
+    new_tracks = np.nonzero((cand >= 2) & (landmark_of_track < 0))[0]
+    _reconstruct_tracks(scene, index, new_tracks, landmark_of_track, cfg)
+
+    # add missing observations of posed views to existing landmarks
+    lm = landmark_of_track[tr.track_id]
+    have = set(zip(scene.obs_landmark[scene.obs_valid].tolist(),
+                   scene.obs_view[scene.obs_valid].tolist()))
+    rows = np.nonzero(rows_posed & (lm >= 0))[0]
+    missing = [r for r in rows
+               if (int(lm[r]), int(tr.view_id[r])) not in have]
+    if missing:
+        missing = np.asarray(missing)
+        # residual gate
+        vi = tr.view_id[missing]
+        pid = scene.view_pose[vi]
+        iid = scene.view_intrinsic[vi]
+        R = scene.pose_R[pid]
+        C = scene.pose_C[pid]
+        Xl = scene.X[lm[missing]]
+        Xc = np.einsum("nij,nj->ni", R, Xl - C)
+        cams = scene.cameras
+        proj = np.asarray(cm.project_cam(
+            jnp.asarray(np.asarray(cams.kind)[iid]),
+            jnp.asarray(np.asarray(cams.params)[iid]),
+            jnp.asarray(np.asarray(cams.width)[iid]),
+            jnp.asarray(np.asarray(cams.height)[iid]),
+            jnp.asarray(Xc)))
+        d = np.linalg.norm(proj - index.obs_xy[missing], axis=1)
+        front = Xc[:, 2] > 0
+        okm = missing[(d <= cfg.max_residual_px) & front]
+        if len(okm):
+            _append_observations(scene, okm, index, landmark_of_track)
