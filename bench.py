@@ -1,0 +1,85 @@
+"""Benchmark: descriptor matching throughput on the TPU chip.
+
+Measures the headline kernel (SURVEY §6 / BASELINE "matched pairs/s per
+chip"): brute-force 2-NN ratio matching of 128-d uint8 SIFT descriptors,
+4096 features per image, as `ops/matching.match_pair_batch` runs it on the
+MXU.  Baseline = the same computation on this host's CPU via numpy/BLAS
+(stand-in for openMVG's AVX2 matcher, which the reference does not publish
+numbers for — BASELINE.md: baselines must be measured).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_FEATS = 4096
+DIM = 128
+PAIR_BATCH = 16
+N_BATCHES = 8
+
+
+def cpu_pairs_per_s(descs, n_pairs=2):
+    a = descs[0].astype(np.float32)
+    t0 = time.perf_counter()
+    for p in range(n_pairs):
+        b = descs[1 + p].astype(np.float32)
+        d = (
+            (a * a).sum(1)[:, None]
+            + (b * b).sum(1)[None, :]
+            - 2.0 * a @ b.T
+        )
+        idx = np.argpartition(d, 2, axis=1)[:, :2]
+        part = np.take_along_axis(d, idx, axis=1)
+        order = np.argsort(part, axis=1)
+        d2 = np.take_along_axis(part, order, axis=1)
+        keep = d2[:, 0] < 0.64 * d2[:, 1]
+        _ = keep.sum()
+    return n_pairs / (time.perf_counter() - t0)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    V = PAIR_BATCH + 1
+    descs_np = rng.integers(0, 256, size=(V, N_FEATS, DIM)).astype(np.uint8)
+
+    baseline = cpu_pairs_per_s(descs_np)
+
+    import jax
+    import jax.numpy as jnp
+    from openmvg_tpu.ops import matching
+
+    descs = jnp.asarray(descs_np)
+    counts = jnp.full((V,), N_FEATS, jnp.int32)
+    base_pairs = jnp.asarray(
+        [[0, 1 + (i % PAIR_BATCH)] for i in range(PAIR_BATCH)], jnp.int32)
+
+    def batch(k):
+        # rotate the pair list every call so no result caching can hide work
+        p = (base_pairs + k) % V
+        return p.at[:, 0].set(k % PAIR_BATCH)
+
+    # warmup/compile (two distinct arg sets to cover the rotated shape)
+    for k in range(2):
+        res = matching.match_pair_batch(descs, counts, batch(k))
+    jax.block_until_ready(res.mask)
+
+    t0 = time.perf_counter()
+    outs = [matching.match_pair_batch(descs, counts, batch(k))
+            for k in range(N_BATCHES)]
+    jax.block_until_ready([o.mask for o in outs])
+    dt = time.perf_counter() - t0
+    pairs_per_s = PAIR_BATCH * N_BATCHES / dt
+
+    print(json.dumps({
+        "metric": "bruteforce_sift_matching_4096x4096",
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Descriptor matching on the MXU: brute-force L2, cascade-hashing-style
+Hamming prefilter, ratio test, dedupe.
+
+Reference parity: matching/ —
+  metric.hpp L2 (unrolled SSE/AVX2 in the reference -> one MXU matmul here:
+    |a-b|^2 = |a|^2 + |b|^2 - 2 a.b), metric_hamming.hpp popcount,
+  matcher_brute_force.hpp (full distance rows + partial sort -> top-k),
+  matching_filters.hpp NNdistanceRatio (dist1 < ratio^2 * dist2 on squared
+    distances, default 0.8),
+  indMatch.hpp IndMatch::getDeduplicated (unique left AND right indices),
+  cascade_hasher.hpp (128-bit hyperplane hash + bucket candidate gather +
+    Hamming ranking + exact L2 on top-10).
+
+TPU redesign of cascade hashing: buckets exist to avoid the full distance
+matrix on CPUs.  On the MXU the full Hamming matrix is itself one bf16
+matmul of +/-1 sign codes (hamming = (D - s_a . s_b) / 2, exact in bf16
+for D = 128), ~4x cheaper than the f32 L2 matmul; we rank all candidates
+by Hamming, take the top-C, and run exact L2 only on those (a gather +
+tiny matmul).  Same output contract as CascadeHashingMatcher, no buckets.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DESC_DIM = 128
+
+
+def l2_distance_matrix(a, b, precision=None):
+    """(N, D) x (M, D) -> (N, M) squared L2 distances via the MXU."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    an = jnp.sum(a * a, axis=-1, keepdims=True)
+    bn = jnp.sum(b * b, axis=-1, keepdims=True)
+    cross = jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.maximum(an + jnp.swapaxes(bn, -1, -2) - 2.0 * cross, 0.0)
+
+
+def two_nn(dist, valid_cols=None):
+    """Per-row two smallest distances and the best index.
+
+    dist (..., N, M); valid_cols (..., M) masks padding.
+    Returns (d1, d2, idx1)."""
+    if valid_cols is not None:
+        big = jnp.asarray(jnp.finfo(dist.dtype).max, dist.dtype)
+        dist = jnp.where(valid_cols[..., None, :], dist, big)
+    neg, idx = jax.lax.top_k(-dist, 2)
+    d = -neg
+    return d[..., 0], d[..., 1], idx[..., 0]
+
+
+def ratio_filter(d1, d2, ratio=0.8):
+    """NNdistanceRatio on squared distances: d1 < ratio^2 * d2."""
+    return d1 < (ratio * ratio) * d2
+
+
+def dedupe_right(idx1, keep, d1, n_cols):
+    """Keep only the best (smallest-distance) match per right index
+    (IndMatch dedupe).  Returns updated keep mask."""
+    big = jnp.asarray(jnp.finfo(d1.dtype).max, d1.dtype)
+    d_masked = jnp.where(keep, d1, big)
+    # best distance per right index
+    best = jax.ops.segment_min(d_masked, idx1, num_segments=n_cols)
+    is_best = d_masked <= best[idx1]
+    # tie-break: lowest row wins
+    rows = jnp.arange(idx1.shape[0])
+    best_row = jax.ops.segment_min(
+        jnp.where(keep & is_best, rows, jnp.iinfo(jnp.int32).max), idx1,
+        num_segments=n_cols)
+    return keep & is_best & (rows == best_row[idx1])
+
+
+class MatchResult(NamedTuple):
+    idx_a: jnp.ndarray  # (N,) row index (== arange)
+    idx_b: jnp.ndarray  # (N,) matched col per row
+    mask: jnp.ndarray   # (N,) valid match flag
+    dist: jnp.ndarray   # (N,) squared distance
+
+
+@partial(jax.jit, static_argnames=("ratio",))
+def match_brute_force(desc_a, desc_b, valid_a=None, valid_b=None, ratio=0.8):
+    """ArrayMatcherBruteForce + ratio + dedupe as one fused device call.
+
+    desc_* (N|M, D) any dtype; valid_* mask padded rows.
+    """
+    dist = l2_distance_matrix(desc_a, desc_b)
+    d1, d2, idx1 = two_nn(dist, valid_b)
+    keep = ratio_filter(d1, d2, ratio)
+    if valid_a is not None:
+        keep = keep & valid_a
+    keep = dedupe_right(idx1, keep, d1, desc_b.shape[0])
+    return MatchResult(idx_a=jnp.arange(desc_a.shape[0]), idx_b=idx1,
+                       mask=keep, dist=d1)
+
+
+# ---------------------------------------------------------------------------
+# cascade-hashing-style Hamming prefilter
+# ---------------------------------------------------------------------------
+
+def make_hash_projections(key, dim=DESC_DIM, bits=128, dtype=jnp.float32):
+    """Random hyperplanes (CascadeHasher::Init primary hash)."""
+    return jax.random.normal(key, (dim, bits), dtype)
+
+
+def sign_codes(desc, proj, mean):
+    """Zero-mean descriptors -> +/-1 codes (bf16, MXU-exact for D<=256)."""
+    z = (desc.astype(jnp.float32) - mean) @ proj
+    return jnp.where(z >= 0, 1.0, -1.0).astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("ratio", "top_c"))
+def match_cascade(desc_a, desc_b, proj, mean, valid_a=None, valid_b=None,
+                  ratio=0.8, top_c=16):
+    """Hamming-prefiltered matcher (FASTCASCADEHASHINGL2 contract).
+
+    1. 128-bit sign codes for both sides (one matmul each)
+    2. full Hamming matrix via bf16 sign matmul: h = (bits - s_a s_b^T)/2
+    3. top_c smallest-Hamming candidates per row
+    4. exact L2 on candidates only, 2-NN ratio + dedupe
+    """
+    sa = sign_codes(desc_a, proj, mean)
+    sb = sign_codes(desc_b, proj, mean)
+    bits = proj.shape[1]
+    ham = (bits - jax.lax.dot_general(
+        sa, sb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)) * 0.5
+    if valid_b is not None:
+        ham = jnp.where(valid_b[None, :], ham, jnp.asarray(1e9, ham.dtype))
+    _, cand = jax.lax.top_k(-ham, top_c)  # (N, C) candidate col ids
+
+    a32 = desc_a.astype(jnp.float32)
+    b32 = desc_b.astype(jnp.float32)
+    bc = b32[cand]  # (N, C, D)
+    d = a32[:, None, :] - bc
+    dist = jnp.sum(d * d, axis=-1)  # (N, C)
+    if valid_b is not None:
+        dist = jnp.where(valid_b[cand], dist, jnp.asarray(jnp.finfo(jnp.float32).max))
+    neg, k2 = jax.lax.top_k(-dist, 2)
+    dd = -neg
+    idx1 = jnp.take_along_axis(cand, k2[..., :1], axis=-1)[..., 0]
+    keep = ratio_filter(dd[..., 0], dd[..., 1], ratio)
+    if valid_a is not None:
+        keep = keep & valid_a
+    keep = dedupe_right(idx1, keep, dd[..., 0], desc_b.shape[0])
+    return MatchResult(idx_a=jnp.arange(desc_a.shape[0]), idx_b=idx1,
+                       mask=keep, dist=dd[..., 0])
+
+
+# ---------------------------------------------------------------------------
+# collection matching: batched pairs
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ratio", "method", "top_c"))
+def match_pair_batch(descs, counts, pair_ij, proj=None, mean=None,
+                     ratio=0.8, method="bruteforce", top_c=16):
+    """Match a batch of image pairs in one call.
+
+    descs (V, Nmax, D) padded stack, counts (V,), pair_ij (P, 2).
+    Returns MatchResult with leading dim (P, Nmax).
+    """
+    Nmax = descs.shape[1]
+    col = jnp.arange(Nmax)
+
+    def one(pair):
+        i, j = pair[0], pair[1]
+        va = col < counts[i]
+        vb = col < counts[j]
+        if method == "bruteforce":
+            return match_brute_force(descs[i], descs[j], va, vb, ratio=ratio)
+        return match_cascade(descs[i], descs[j], proj, mean, va, vb,
+                             ratio=ratio, top_c=top_c)
+
+    return jax.vmap(one)(pair_ij)
+
+
+def matches_to_dict(pair_ij, result: MatchResult):
+    """Device batch -> {(i, j): (M, 2) numpy} PairWiseMatches."""
+    out = {}
+    pair_ij = np.asarray(pair_ij)
+    mask = np.asarray(result.mask)
+    idx_b = np.asarray(result.idx_b)
+    for p in range(len(pair_ij)):
+        sel = np.nonzero(mask[p])[0]
+        if len(sel):
+            out[(int(pair_ij[p, 0]), int(pair_ij[p, 1]))] = np.stack(
+                [sel, idx_b[p][sel]], axis=1).astype(np.int64)
+    return out

@@ -106,7 +106,7 @@ def _huber_sqrt_weight(r, a, use_huber):
     return jnp.sqrt(w)
 
 
-def robust_cost(p: BAProblem, cfg: BAConfig):
+def robust_cost(p: BAProblem, cfg: BAConfig, axis=None):
     """Total robustified cost 0.5 * sum rho(|r|^2) over weighted obs."""
     r = residuals(p)
     s = jnp.sum(r * r, axis=-1)
@@ -115,7 +115,10 @@ def robust_cost(p: BAProblem, cfg: BAConfig):
         rho = jnp.where(s <= a, s, 2.0 * jnp.sqrt(a * jnp.maximum(s, 0)) - a)
     else:
         rho = s
-    return 0.5 * jnp.sum(rho * p.obs_w)
+    c = 0.5 * jnp.sum(rho * p.obs_w)
+    if axis is not None:
+        c = jax.lax.psum(c, axis)
+    return c
 
 
 def jacobians(p: BAProblem, cfg: BAConfig):
@@ -136,8 +139,11 @@ def jacobians(p: BAProblem, cfg: BAConfig):
 # Schur-CG solve
 # ---------------------------------------------------------------------------
 
-def _seg_sum(vals, ids, num):
-    return jax.ops.segment_sum(vals, ids, num_segments=num)
+def _seg_sum(vals, ids, num, axis=None):
+    out = jax.ops.segment_sum(vals, ids, num_segments=num)
+    if axis is not None:
+        out = jax.lax.psum(out, axis)
+    return out
 
 
 def _solve_sym3(A, b):
@@ -152,14 +158,14 @@ def _camera_matvec(vc_pose, vc_intr, p, Jp6, Ji8):
     return up + ui
 
 
-def _camera_rmatvec(u, p, Jp6, Ji8, n_pose, n_intr):
-    """Jc^T u scattered back to (P,6), (I,8)."""
-    gp = _seg_sum(jnp.einsum("oij,oi->oj", Jp6, u), p.obs_pose, n_pose)
-    gi = _seg_sum(jnp.einsum("oij,oi->oj", Ji8, u), p.obs_intr, n_intr)
+def _camera_rmatvec(u, p, Jp6, Ji8, n_pose, n_intr, axis=None):
+    """Jc^T u scattered back to (P,6), (I,8) (psum-reduced when sharded)."""
+    gp = _seg_sum(jnp.einsum("oij,oi->oj", Jp6, u), p.obs_pose, n_pose, axis)
+    gi = _seg_sum(jnp.einsum("oij,oi->oj", Ji8, u), p.obs_intr, n_intr, axis)
     return gp, gi
 
 
-def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig):
+def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None):
     """One damped normal-equation solve.  Returns (d_pose (P,6),
     d_intr (I,8), d_X (L,3), predicted_gain)."""
     n_pose = p.rotvec.shape[0]
@@ -167,7 +173,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig):
     n_pts = p.X.shape[0]
 
     # point blocks Hpp = sum Jx^T Jx + lam*diag, and their damped inverse
-    Hpp = _seg_sum(jnp.einsum("oij,oik->ojk", Jx3, Jx3), p.obs_point, n_pts)
+    Hpp = _seg_sum(jnp.einsum("oij,oik->ojk", Jx3, Jx3), p.obs_point, n_pts, axis)
     dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     damp_pp = jnp.maximum(dpp, 1e-12)
     Hpp = Hpp + lam * damp_pp[..., None] * jnp.eye(3, dtype=Hpp.dtype)
@@ -175,12 +181,12 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig):
     Hpp = Hpp + ((1.0 - p.mask_X) + 1e-12)[:, None, None] * jnp.eye(3, dtype=Hpp.dtype)
 
     # gradient
-    gp, gi = _camera_rmatvec(-r, p, Jp6, Ji8, n_pose, n_intr)
-    gx = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, -r), p.obs_point, n_pts)
+    gp, gi = _camera_rmatvec(-r, p, Jp6, Ji8, n_pose, n_intr, axis)
+    gx = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, -r), p.obs_point, n_pts, axis)
 
     # camera diagonal blocks for damping + preconditioner
-    Hcc_p = _seg_sum(jnp.einsum("oij,oik->ojk", Jp6, Jp6), p.obs_pose, n_pose)
-    Hcc_i = _seg_sum(jnp.einsum("oij,oik->ojk", Ji8, Ji8), p.obs_intr, n_intr)
+    Hcc_p = _seg_sum(jnp.einsum("oij,oik->ojk", Jp6, Jp6), p.obs_pose, n_pose, axis)
+    Hcc_i = _seg_sum(jnp.einsum("oij,oik->ojk", Ji8, Ji8), p.obs_intr, n_intr, axis)
     dcc_p = jnp.maximum(jnp.diagonal(Hcc_p, axis1=-2, axis2=-1), 1e-12)
     dcc_i = jnp.maximum(jnp.diagonal(Hcc_i, axis1=-2, axis2=-1), 1e-12)
 
@@ -188,7 +194,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig):
 
     # reduced RHS: b = gc - E Hpp^-1 gx  where E v = Jc^T (Jx v)
     z = jnp.einsum("oij,oj->oi", Jx3, Hpp_inv_gx[p.obs_point])
-    bp, bi = _camera_rmatvec(z, p, Jp6, Ji8, n_pose, n_intr)
+    bp, bi = _camera_rmatvec(z, p, Jp6, Ji8, n_pose, n_intr, axis)
     bp = gp - bp
     bi = gi - bi
 
@@ -207,10 +213,10 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig):
         """S v = (B + lam D) v - E Hpp^-1 E^T v, all implicit via J."""
         vp, vi = v
         u = _camera_matvec(vp, vi, p, Jp6, Ji8)
-        w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts)
+        w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts, axis)
         y = _solve_sym3(Hpp, w)
         zz = jnp.einsum("oij,oj->oi", Jx3, y[p.obs_point])
-        sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr)
+        sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr, axis)
         sp = sp + lam * dcc_p * vp
         si = si + lam * dcc_i * vi
         return sp, si
@@ -254,7 +260,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig):
 
     # back-substitute points: d_X = Hpp^-1 (gx - E^T dc)
     u = _camera_matvec(d_pose, d_intr, p, Jp6, Ji8)
-    w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts)
+    w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts, axis)
     d_X = _solve_sym3(Hpp, gx - w) * p.mask_X[:, None]
 
     # predicted model gain 0.5 * (d^T (lam*D d + g))  (standard LM formula)
@@ -275,20 +281,24 @@ def _apply_step(p: BAProblem, d_pose, d_intr, d_X):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def lm_step(p: BAProblem, lam, cfg: BAConfig):
-    """One LM iteration: solve, tentative step, accept/reject, adapt lam."""
-    cost0 = robust_cost(p, cfg)
+def lm_step_impl(p: BAProblem, lam, cfg: BAConfig, axis=None):
+    """One LM iteration: solve, tentative step, accept/reject, adapt lam.
+    With `axis`, runs observation-sharded: per-shard J products, psum
+    reductions, replicated parameters (see parallel/dist_ba.py)."""
+    cost0 = robust_cost(p, cfg, axis)
     r, Jp6, Ji8, Jx3 = jacobians(p, cfg)
-    d_pose, d_intr, d_X, gain = schur_cg_solve(p, r, Jp6, Ji8, Jx3, lam, cfg)
+    d_pose, d_intr, d_X, gain = schur_cg_solve(p, r, Jp6, Ji8, Jx3, lam, cfg, axis)
     p_new = _apply_step(p, d_pose, d_intr, d_X)
-    cost1 = robust_cost(p_new, cfg)
+    cost1 = robust_cost(p_new, cfg, axis)
     accept = cost1 < cost0
     p_out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(jnp.reshape(accept, (1,) * a.ndim), b, a),
         p, p_new)
     lam_new = jnp.where(accept, lam * cfg.lam_down, lam * cfg.lam_up)
     return p_out, lam_new, jnp.where(accept, cost1, cost0), accept
+
+
+lm_step = partial(jax.jit, static_argnames=("cfg",))(lm_step_impl)
 
 
 def adjust(p: BAProblem, cfg: BAConfig = BAConfig(), verbose=False):

@@ -1,0 +1,58 @@
+"""Distributed (8 virtual CPU devices) tests: observation-sharded BA must
+match the single-device solve; pair-sharded matching must match too."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmvg_tpu.parallel import dist_ba, mesh as meshlib
+from openmvg_tpu.sfm import ba
+from tests.test_ba import scene_from_ring
+from openmvg_tpu.utils.synthetic import ring_scene
+from openmvg_tpu.sfm.scene import rmse
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return meshlib.make_mesh(8)
+
+
+def test_distributed_ba_matches_single(mesh8):
+    s = ring_scene(n_views=8, n_points=60, seed=0)
+    sc = scene_from_ring(s, noise_X=0.02, seed=1)
+    prob, maps = ba.problem_from_scene(sc)
+    cfg = ba.BAConfig(max_iterations=15)
+
+    p1, cost1, _ = ba.adjust(prob, cfg)
+    p2, cost2 = dist_ba.adjust_distributed(prob, mesh8, cfg)
+
+    assert abs(cost1 - cost2) / max(cost1, 1e-12) < 1e-6
+    np.testing.assert_allclose(np.asarray(p2.X[: p1.X.shape[0]]),
+                               np.asarray(p1.X), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p2.rotvec), np.asarray(p1.rotvec),
+                               atol=1e-8)
+
+
+def test_distributed_matching_pair_sharded(mesh8):
+    from openmvg_tpu.ops import matching
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    V, Nmax = 6, 128
+    descs = rng.normal(size=(V, Nmax, 128)).astype(np.float32)
+    counts = np.full(V, Nmax)
+    pairs = np.asarray([(i, j) for i in range(V) for j in range(i + 1, V)])
+    pairs = pairs[:8]  # one per device
+
+    ref = matching.match_pair_batch(jnp.asarray(descs), jnp.asarray(counts),
+                                    jnp.asarray(pairs))
+    sharded_pairs = jax.device_put(
+        jnp.asarray(pairs), NamedSharding(mesh8, P("hosts")))
+    repl = NamedSharding(mesh8, P())
+    out = matching.match_pair_batch(
+        jax.device_put(jnp.asarray(descs), repl),
+        jax.device_put(jnp.asarray(counts), repl), sharded_pairs)
+    np.testing.assert_array_equal(np.asarray(ref.idx_b), np.asarray(out.idx_b))
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(out.mask))
