@@ -1,0 +1,210 @@
+"""Global SfM reconstruction engine (rotation + translation averaging).
+
+Reference parity: sfm/pipelines/global/sfm_global_engine_relative_motions.cpp
+GlobalSfMReconstructionEngine_RelativeMotions::Process (:112-175):
+  1. keep the largest bi-edge-connected component of the pair graph
+  2. relative poses per pair (Relative_Pose_Engine — robustRelativePose)
+  3. triplet-composition rejection, then rotation averaging (L1 | L2)
+  4. translation averaging (SoftL1 default here; L2-chordal, IRLS-L1)
+  5. initial structure from tracks (>= 3 views) + robust triangulation
+  6. staged BA: T+X -> RT+X -> KRT+X, outlier removal (4px, 2 deg),
+     eraseUnstablePosesAndObservations(min 12 pts/pose, 3 obs/landmark),
+     final BA (:418-532)
+
+Deviation (documented): relative translations fed to the averaging come
+from the two-view AC-RANSAC poses with averaged rotations substituted,
+rather than the reference's per-triplet l-infinity AC-RANSAC re-estimation
+(GlobalSfM_translation_averaging.cpp:520-734) — same inputs family, far
+fewer moving parts; the robust SoftL1 loss absorbs the extra noise.
+"""
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmvg_tpu.models import cameras as cm
+from openmvg_tpu.ops import rotation_averaging as ra
+from openmvg_tpu.ops import translation_averaging as ta
+from openmvg_tpu.sfm import ba, filters
+from openmvg_tpu.sfm.pipeline_incremental import (
+    _TrackIndex, _bearings, _pad_pow2, _shared_track_corr, _run_ba,
+    _reconstruct_tracks,
+)
+from openmvg_tpu.sfm import robust
+from openmvg_tpu.sfm.scene import Scene, rmse
+from openmvg_tpu.sfm.tracks import build_tracks
+from openmvg_tpu.utils import graph as graphlib
+
+ROTATION_AVERAGING_L1 = 1
+ROTATION_AVERAGING_L2 = 2  # reference default (main_SfM.cpp)
+TRANSLATION_AVERAGING_L1 = 1
+TRANSLATION_AVERAGING_L2_CHORDAL = 2
+TRANSLATION_AVERAGING_SOFTL1 = 3  # reference default
+
+
+@dataclasses.dataclass
+class GlobalConfig:
+    rotation_averaging: int = ROTATION_AVERAGING_L2
+    translation_averaging: int = TRANSLATION_AVERAGING_SOFTL1
+    ransac_samples: int = 1024
+    triplet_max_angle_deg: float = 5.0
+    max_residual_px: float = 4.0
+    min_track_views: int = 3
+    ba_iterations: int = 30
+    refine_intrinsics: object = ba.ADJUST_ALL
+    verbose: bool = False
+    dtype: object = jnp.float64
+
+
+def _log(cfg, *m):
+    if cfg.verbose:
+        print("[global]", *m)
+
+
+def compute_relative_poses(scene, index, pairs, cfg, key):
+    """Relative_Pose_Engine: robust two-view pose for every pair.
+
+    Returns {(i, j): dict(R, t, n_inliers, inlier_tracks)}.
+    """
+    out = {}
+    for n_pair, (va, vb) in enumerate(pairs):
+        xa, xb, track_ids = _shared_track_corr(index, va, vb)
+        n = len(track_ids)
+        if n < 15:
+            continue
+        bearings_a = _bearings(scene, np.full(n, va), xa)
+        bearings_b = _bearings(scene, np.full(n, vb), xb)
+        (xa_p, xb_p, ba_p, bb_p), k = _pad_pow2([xa, xb, bearings_a, bearings_b], n)
+        valid = np.arange(k) < n
+        Ka = np.asarray(cm.K_matrix(jnp.asarray(
+            scene.cameras.params[scene.view_intrinsic[va]])))
+        Kb = np.asarray(cm.K_matrix(jnp.asarray(
+            scene.cameras.params[scene.view_intrinsic[vb]])))
+        wh = scene.view_wh[vb]
+        info = robust.robust_relative_pose(
+            jax.random.fold_in(key, n_pair), jnp.asarray(ba_p),
+            jnp.asarray(bb_p), jnp.asarray(xa_p), jnp.asarray(xb_p),
+            jnp.asarray(Ka), jnp.asarray(Kb), jnp.asarray(valid),
+            float(wh[0]), float(wh[1]), n_samples=cfg.ransac_samples)
+        if not bool(info.found):
+            continue
+        inl = np.asarray(info.inliers)[:n]
+        out[(int(va), int(vb))] = dict(
+            R=np.asarray(info.R), t=np.asarray(info.t),
+            n_inliers=int(inl.sum()), inlier_tracks=track_ids[inl])
+    return out
+
+
+def global_sfm(scene: Scene, features: List[np.ndarray],
+               matches: Dict[Tuple[int, int], np.ndarray],
+               cfg: GlobalConfig = GlobalConfig(), seed: int = 0):
+    key = jax.random.PRNGKey(seed)
+    tracks = build_tracks(matches, min_length=2)
+    index = _TrackIndex(tracks, features)
+
+    # 1. largest bi-edge CC
+    keep_nodes = graphlib.largest_biedge_connected_component(list(matches))
+    pairs = [p for p in matches if p[0] in keep_nodes and p[1] in keep_nodes]
+    _log(cfg, f"{len(pairs)} pairs in largest bi-edge CC "
+              f"({len(keep_nodes)} views)")
+
+    # 2. relative poses
+    rel = compute_relative_poses(scene, index, pairs, cfg, key)
+    _log(cfg, f"{len(rel)} relative poses")
+    if len(rel) < 3:
+        raise RuntimeError("not enough relative poses")
+
+    # 3. triplet rejection + rotation averaging
+    R_map = {p: r["R"] for p, r in rel.items()}
+    kept_pairs, triplets = ra.triplet_rotation_rejection(
+        list(rel), R_map, cfg.triplet_max_angle_deg)
+    if len(kept_pairs) < 3:
+        kept_pairs = set(rel)
+    _log(cfg, f"{len(kept_pairs)} pairs after triplet rejection "
+              f"({len(triplets)} triplets)")
+
+    views = sorted({v for p in kept_pairs for v in p})
+    vmap_ = {v: i for i, v in enumerate(views)}
+    ei = np.asarray([vmap_[i] for (i, j) in kept_pairs])
+    ej = np.asarray([vmap_[j] for (i, j) in kept_pairs])
+    R_rel = np.stack([R_map[p] for p in kept_pairs])
+    w = np.asarray([rel[p]["n_inliers"] for p in kept_pairs], float)
+
+    if cfg.rotation_averaging == ROTATION_AVERAGING_L2:
+        R_glob = np.asarray(ra.l2_rotation_averaging(
+            len(views), jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(R_rel),
+            jnp.asarray(w / w.max())))
+    else:
+        R_glob = np.asarray(ra.l1_rotation_averaging(
+            len(views), ei, ej, jnp.asarray(R_rel), jnp.asarray(w / w.max())))
+
+    # 4. translation averaging, with averaged rotations substituted
+    t_rel = np.stack([rel[p]["t"] for p in kept_pairs])
+    method = {TRANSLATION_AVERAGING_L1: ta.L1,
+              TRANSLATION_AVERAGING_L2_CHORDAL: ta.L2,
+              TRANSLATION_AVERAGING_SOFTL1: ta.SOFTL1}[cfg.translation_averaging]
+    R_rel_avg = np.einsum("eij,ekj->eik", R_glob[ej], R_glob[ei])
+    t_glob, _ = ta.solve_translation_averaging(
+        len(views), ei, ej, R_rel_avg, t_rel, method=method)
+
+    # write poses
+    for v, i in vmap_.items():
+        pid = scene.view_pose[v]
+        scene.pose_valid[pid] = True
+        scene.pose_R[pid] = R_glob[i]
+        scene.pose_C[pid] = -R_glob[i].T @ t_glob[i]
+
+    # 5. initial structure: tracks with >= min_track_views posed views
+    landmark_of_track = np.full(index.n_tracks, -1, np.int64)
+    posed_mask = np.zeros(scene.n_views, bool)
+    posed_mask[views] = True
+    rows_posed = posed_mask[index.tracks.view_id]
+    cand = np.bincount(index.tracks.track_id[rows_posed],
+                       minlength=index.n_tracks)
+    cand_tracks = np.nonzero(cand >= cfg.min_track_views)[0]
+    n_rec = _reconstruct_tracks(scene, index, cand_tracks, landmark_of_track,
+                                _TriCfg(cfg))
+    _log(cfg, f"initial structure: {n_rec}/{len(cand_tracks)} tracks, "
+              f"rmse={rmse(scene):.3f}")
+
+    # 6. staged BA: T+X -> RT+X -> KRT+X
+    _staged_ba(scene, cfg)
+    filters.remove_outliers_pixel_residual(scene, cfg.max_residual_px, 2)
+    filters.remove_outliers_angle_error(scene, 2.0)
+    filters.erase_unstable_poses_and_observations(scene, 12, 3)
+    _run_ba(scene, _BaCfg(cfg))
+    while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+        _run_ba(scene, _BaCfg(cfg))
+    _log(cfg, f"done: {int(scene.pose_valid.sum())} poses, "
+              f"{scene.n_landmarks} landmarks, rmse={rmse(scene):.3f}")
+    return scene
+
+
+class _TriCfg:
+    def __init__(self, cfg):
+        self.triangulation_angle_deg = 2.0
+        self.max_residual_px = cfg.max_residual_px
+
+
+class _BaCfg:
+    def __init__(self, cfg):
+        self.refine_intrinsics = cfg.refine_intrinsics
+        self.ba_iterations = cfg.ba_iterations
+        self.dtype = cfg.dtype
+
+
+def _staged_ba(scene, cfg):
+    """BA(T+X) -> BA(RT+X) -> BA(KRT+X) (engine Adjust :418-532)."""
+    for refine_rot, refine_intr in ((False, ba.ADJUST_NONE),
+                                    (True, ba.ADJUST_NONE),
+                                    (True, cfg.refine_intrinsics)):
+        prob, maps = ba.problem_from_scene(
+            scene, refine_rotation=refine_rot, refine_translation=True,
+            refine_intrinsics=refine_intr, dtype=cfg.dtype)
+        if prob.obs_pose.shape[0] == 0:
+            return
+        prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
+        ba.scene_from_problem(scene, prob, maps)
