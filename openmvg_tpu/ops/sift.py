@@ -1,0 +1,367 @@
+"""SIFT feature extraction on TPU — batched scale space, DoG detection,
+orientation and descriptors as fixed-shape array programs.
+
+Reference parity (features/sift/, the IPOL "Anatomy of SIFT" port):
+  - HierarchicalGaussianScaleSpace (hierarchical_gaussian_scale_space.hpp:77):
+    sigma_min 1.6, delta_min 1.0, assumed input blur sigma_in 0.5,
+    3 slices/octave + 3 supplementary levels, octave chaining by
+    2x subsampling of the 4th level
+  - SIFT_KeypointExtractor (sift_KeypointExtractor.hpp): 26-neighbor DoG
+    discrete extrema with a 0.8x peak prefilter (:61), up to 5-step 3D
+    quadratic refinement (:193+), contrast threshold peak/nb_slices
+    (SIFT_Anatomy_Image_Describer.hpp:152), edge rejection
+    (r+1)^2/r with r = 10 (:326), border check (:298)
+  - SIFT_DescriptorExtractor (sift_DescriptorExtractor.hpp): 36-bin
+    orientation histogram (window lambda_ori = 1.5, 6x box smoothing),
+    peaks >= 0.8 max; 4x4x8 descriptor, lambda_desc = 6, clip 0.2,
+    quantize to uint8 (x512)
+  presets NORMAL/HIGH/ULTRA (peak 0.04/0.01/0.01+upsample,
+  SIFT_Anatomy_Image_Describer.hpp:88-107)
+
+TPU design: everything is fixed-shape — per-octave candidate top-K, a
+fixed sample grid for orientation/descriptor windows (quadrature in units
+of sigma instead of the reference's per-pixel loops; same continuous
+integral, different sampling), two orientation slots per keypoint.
+Convolutions are XLA conv_general_dilated (MXU-eligible); the rest is
+gathers + segment adds, all vmappable over an image batch.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SIGMA_MIN = 1.6
+SIGMA_IN = 0.5
+N_SLICES = 3
+N_LEVELS = N_SLICES + 3  # supplementary levels for DoG + refinement
+LAMBDA_ORI = 1.5
+LAMBDA_DESC = 6.0
+N_ORI_BINS = 36
+N_SPLIT = 4
+N_ANGLE = 8
+CLIP = 0.2
+
+
+class SiftConfig(NamedTuple):
+    peak_threshold: float = 0.04     # NORMAL preset
+    edge_threshold: float = 10.0
+    max_per_octave: int = 1024
+    n_octaves: int = 4
+    ori_grid: int = 16               # orientation window quadrature
+    desc_grid: int = 16              # descriptor window quadrature
+    root_sift: bool = False
+
+
+class SiftFeatures(NamedTuple):
+    xy: jnp.ndarray      # (K, 2) image coords (x, y)
+    scale: jnp.ndarray   # (K,)
+    orientation: jnp.ndarray  # (K,)
+    desc: jnp.ndarray    # (K, 128) uint8
+    mask: jnp.ndarray    # (K,)
+    response: jnp.ndarray  # (K,) |DoG| response
+
+
+def _gauss_kernel1d(sigma, radius):
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img, sigma):
+    """Separable Gaussian blur, static kernel; img (..., H, W)."""
+    radius = max(1, int(np.ceil(4.0 * sigma)))
+    k = jnp.asarray(_gauss_kernel1d(sigma, radius))
+    pad = [(0, 0)] * (img.ndim - 2) + [(radius, radius), (radius, radius)]
+    p = jnp.pad(img, pad, mode="edge")
+    kh = k.reshape(1, 1, 1, -1)
+    kv = k.reshape(1, 1, -1, 1)
+    lead = p.shape[:-2]
+    x = p.reshape((-1, 1) + p.shape[-2:])
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
+    return x.reshape(lead + x.shape[-2:])
+
+
+def build_scale_space(image, cfg: SiftConfig):
+    """image (H, W) float32 in [0,1] -> list of per-octave level stacks
+    [(N_LEVELS, H_o, W_o)] with sigmas (absolute) per level."""
+    img = _blur(image, float(np.sqrt(SIGMA_MIN**2 - SIGMA_IN**2)))
+    octaves = []
+    sigmas = []
+    for o in range(cfg.n_octaves):
+        levels = [img]
+        for s in range(1, N_LEVELS):
+            inc = SIGMA_MIN * np.sqrt(2.0 ** (2.0 * s / N_SLICES)
+                                      - 2.0 ** (2.0 * (s - 1) / N_SLICES))
+            levels.append(_blur(levels[-1], float(inc)))
+        stack = jnp.stack(levels)
+        octaves.append(stack)
+        sigmas.append(SIGMA_MIN * 2.0 ** o *
+                      2.0 ** (np.arange(N_LEVELS) / N_SLICES))
+        img = levels[N_SLICES][..., ::2, ::2]
+    return octaves, sigmas
+
+
+def _detect_octave(stack, cfg: SiftConfig, octave):
+    """One octave's DoG extrema with quadratic refinement.
+
+    stack (N_LEVELS, H, W).  Returns per-candidate arrays of length
+    cfg.max_per_octave: level s, y, x (octave px, refined), sigma_rel
+    (octave px units), value, valid.
+    """
+    dog = stack[1:] - stack[:-1]  # (N_LEVELS-1, H, W)
+    D = dog.shape[0]
+    H, W = dog.shape[-2:]
+    thresh = cfg.peak_threshold / N_SLICES
+
+    # 26-neighbor extremum test on interior voxels
+    c = dog[1:D - 1, 1:H - 1, 1:W - 1]
+    is_max = jnp.ones_like(c, bool)
+    is_min = jnp.ones_like(c, bool)
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == dy == dx == 0:
+                    continue
+                n = dog[1 + ds:D - 1 + ds, 1 + dy:H - 1 + dy, 1 + dx:W - 1 + dx]
+                is_max &= c > n
+                is_min &= c < n
+    cand = (is_max | is_min) & (jnp.abs(c) > 0.8 * thresh)
+
+    score = jnp.where(cand, jnp.abs(c), 0.0).reshape(-1)
+    K = cfg.max_per_octave
+    val, flat = jax.lax.top_k(score, K)
+    valid = val > 0
+    Wc = W - 2
+    s0 = flat // ((H - 2) * Wc) + 1
+    rem = flat % ((H - 2) * Wc)
+    y0 = rem // Wc + 1
+    x0 = rem % Wc + 1
+
+    # iterative quadratic refinement (fixed 3 steps, anchor shifts clamped)
+    def deriv(s, y, x):
+        g = lambda ds, dy, dx: dog[s + ds, y + dy, x + dx]
+        v = g(0, 0, 0)
+        grad = jnp.stack([
+            0.5 * (g(1, 0, 0) - g(-1, 0, 0)),
+            0.5 * (g(0, 1, 0) - g(0, -1, 0)),
+            0.5 * (g(0, 0, 1) - g(0, 0, -1))])
+        hss = g(1, 0, 0) + g(-1, 0, 0) - 2 * v
+        hyy = g(0, 1, 0) + g(0, -1, 0) - 2 * v
+        hxx = g(0, 0, 1) + g(0, 0, -1) - 2 * v
+        hsy = 0.25 * (g(1, 1, 0) - g(1, -1, 0) - g(-1, 1, 0) + g(-1, -1, 0))
+        hsx = 0.25 * (g(1, 0, 1) - g(1, 0, -1) - g(-1, 0, 1) + g(-1, 0, -1))
+        hyx = 0.25 * (g(0, 1, 1) - g(0, 1, -1) - g(0, -1, 1) + g(0, -1, -1))
+        Hm = jnp.stack([
+            jnp.stack([hss, hsy, hsx]),
+            jnp.stack([hsy, hyy, hyx]),
+            jnp.stack([hsx, hyx, hxx])])
+        return v, grad, Hm, (hxx, hyy, hyx)
+
+    def refine_one(s, y, x):
+        def body(_, carry):
+            s, y, x, off, ok = carry
+            v, grad, Hm, h2 = deriv(s, y, x)
+            off_new = -jnp.linalg.solve(Hm + 1e-12 * jnp.eye(3), grad)
+            shift = jnp.round(off_new).astype(jnp.int32)
+            move = jnp.abs(off_new) > 0.6
+            s2 = jnp.clip(s + jnp.where(move[0], shift[0], 0), 1, D - 2)
+            y2 = jnp.clip(y + jnp.where(move[1], shift[1], 0), 1, H - 2)
+            x2 = jnp.clip(x + jnp.where(move[2], shift[2], 0), 1, W - 2)
+            return s2, y2, x2, off_new, ok
+
+        s, y, x, off, ok = jax.lax.fori_loop(
+            0, 3, body, (s, y, x, jnp.zeros(3), jnp.asarray(True)))
+        v, grad, Hm, (hxx, hyy, hyx) = deriv(s, y, x)
+        off = -jnp.linalg.solve(Hm + 1e-12 * jnp.eye(3), grad)
+        off = jnp.clip(off, -1.5, 1.5)
+        val_ref = v + 0.5 * jnp.dot(grad, off)
+        # edge response on the spatial 2x2 Hessian
+        tr = hxx + hyy
+        det = hxx * hyy - hyx * hyx
+        r = cfg.edge_threshold
+        edge_ok = (det > 0) & (tr * tr / jnp.where(det == 0, 1e-12, det)
+                               < (r + 1) ** 2 / r)
+        contrast_ok = jnp.abs(val_ref) > thresh
+        return (s + off[0], y + off[1], x + off[2], val_ref,
+                edge_ok & contrast_ok)
+
+    sr, yr, xr, vr, okr = jax.vmap(refine_one)(s0, y0, x0)
+    valid &= okr
+    # sigma in octave pixel units: sigma_min * 2^(s/3); dog level s maps to
+    # scale-space level s (dog[s] = L[s+1]-L[s], centered ~ level s+0.5; the
+    # reference uses level index s directly)
+    sigma_rel = SIGMA_MIN * 2.0 ** (sr / N_SLICES)
+    border_ok = (xr > 1.0) & (xr < W - 2.0) & (yr > 1.0) & (yr < H - 2.0)
+    return dict(level=jnp.clip(jnp.round(sr).astype(jnp.int32), 0, N_LEVELS - 1),
+                s=sr, y=yr, x=xr, sigma_rel=sigma_rel, value=vr,
+                valid=valid & border_ok)
+
+
+def _bilinear(img, y, x):
+    """img (H, W), y/x float arrays -> bilinear samples (clamped)."""
+    H, W = img.shape
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx) + v11 * fy * fx)
+
+
+def _orientations(gx, gy, kp, cfg: SiftConfig):
+    """Per-keypoint dominant orientations (up to 2).
+
+    gx, gy: (N_LEVELS, H, W) gradients of the octave stack.
+    kp: dict from _detect_octave.  Returns theta (K, 2), ok (K, 2).
+    """
+    G = cfg.ori_grid
+    # sample offsets in units of sigma: cover radius 3*lambda_ori
+    lin = jnp.linspace(-1.0, 1.0, G)
+    U, V = jnp.meshgrid(lin, lin)
+    rad = 3.0 * LAMBDA_ORI
+
+    def one(level, y, x, sigma):
+        sy = y + V.reshape(-1) * rad * sigma
+        sx = x + U.reshape(-1) * rad * sigma
+        gxs = _bilinear(gx[level], sy, sx)
+        gys = _bilinear(gy[level], sy, sx)
+        mag = jnp.hypot(gxs, gys)
+        w = jnp.exp(-0.5 * ((U.reshape(-1) ** 2 + V.reshape(-1) ** 2)
+                            * rad**2) / LAMBDA_ORI**2)
+        ang = jnp.arctan2(gys, gxs) % (2 * jnp.pi)
+        bin_f = ang / (2 * jnp.pi) * N_ORI_BINS
+        b0 = jnp.floor(bin_f).astype(jnp.int32) % N_ORI_BINS
+        hist = jax.ops.segment_sum(w * mag, b0, num_segments=N_ORI_BINS)
+        # 6x circular box smoothing (anatomy)
+        for _ in range(6):
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        hmax = jnp.max(hist)
+        prev = jnp.roll(hist, 1)
+        nxt = jnp.roll(hist, -1)
+        is_peak = (hist > prev) & (hist > nxt) & (hist >= 0.8 * hmax)
+        peak_val = jnp.where(is_peak, hist, -1.0)
+        top2_val, top2_idx = jax.lax.top_k(peak_val, 2)
+        # quadratic interpolation of the peak position
+        p = prev[top2_idx]
+        c = hist[top2_idx]
+        n = nxt[top2_idx]
+        denom = p - 2 * c + n
+        off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (p - n) / denom, 0.0)
+        theta = ((top2_idx + off + 0.5) / N_ORI_BINS) * 2 * jnp.pi
+        ok = top2_val > 0
+        return theta, ok
+
+    return jax.vmap(one)(kp["level"], kp["y"], kp["x"], kp["sigma_rel"])
+
+
+def _descriptors(gx, gy, kp, theta, cfg: SiftConfig):
+    """4x4x8 SIFT descriptors for each (keypoint, orientation)."""
+    G = cfg.desc_grid
+    lin = jnp.linspace(-1.0, 1.0, G)
+    U, V = jnp.meshgrid(lin, lin)
+    Uf = U.reshape(-1)
+    Vf = V.reshape(-1)
+    R = (1.0 + 1.0 / N_SPLIT) * LAMBDA_DESC  # window half-width in sigmas
+
+    def one(level, y, x, sigma, th):
+        ct, st = jnp.cos(th), jnp.sin(th)
+        # rotated sample positions (u along orientation)
+        du = Uf * R * sigma
+        dv = Vf * R * sigma
+        sx = x + ct * du - st * dv
+        sy = y + st * du + ct * dv
+        gxs = _bilinear(gx[level], sy, sx)
+        gys = _bilinear(gy[level], sy, sx)
+        mag = jnp.hypot(gxs, gys)
+        ang = (jnp.arctan2(gys, gxs) - th) % (2 * jnp.pi)
+        w = jnp.exp(-0.5 * (Uf**2 + Vf**2) * R**2 / LAMBDA_DESC**2)
+        contrib = w * mag
+        # spatial bins: positions in [-lambda, lambda] sigmas -> [0, 4)
+        ub = (Uf * R + LAMBDA_DESC) / (2 * LAMBDA_DESC) * N_SPLIT - 0.5
+        vb = (Vf * R + LAMBDA_DESC) / (2 * LAMBDA_DESC) * N_SPLIT - 0.5
+        ab = ang / (2 * jnp.pi) * N_ANGLE
+        # trilinear scatter
+        u0 = jnp.floor(ub).astype(jnp.int32)
+        v0 = jnp.floor(vb).astype(jnp.int32)
+        a0 = jnp.floor(ab).astype(jnp.int32)
+        fu = ub - u0
+        fv = vb - v0
+        fa = ab - a0
+        desc = jnp.zeros(N_SPLIT * N_SPLIT * N_ANGLE)
+        for du_ in (0, 1):
+            for dv_ in (0, 1):
+                for da_ in (0, 1):
+                    uu = u0 + du_
+                    vv = v0 + dv_
+                    aa = (a0 + da_) % N_ANGLE
+                    wgt = (contrib
+                           * jnp.where(du_, fu, 1 - fu)
+                           * jnp.where(dv_, fv, 1 - fv)
+                           * jnp.where(da_, fa, 1 - fa))
+                    inside = (uu >= 0) & (uu < N_SPLIT) & (vv >= 0) & (vv < N_SPLIT)
+                    idx = jnp.where(inside, (vv * N_SPLIT + uu) * N_ANGLE + aa, 0)
+                    desc = desc + jax.ops.segment_sum(
+                        jnp.where(inside, wgt, 0.0), idx,
+                        num_segments=N_SPLIT * N_SPLIT * N_ANGLE)
+        # normalize, clip, renormalize, quantize
+        nrm = jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+        desc = jnp.minimum(desc / nrm, CLIP)
+        nrm2 = jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+        desc = desc / nrm2
+        if cfg.root_sift:
+            desc = jnp.sqrt(desc / jnp.maximum(jnp.sum(desc), 1e-12))
+        return jnp.clip(desc * 512.0, 0, 255).astype(jnp.uint8)
+
+    return jax.vmap(one)(kp["level"], kp["y"], kp["x"], kp["sigma_rel"], theta)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract(image, cfg: SiftConfig = SiftConfig()):
+    """Full SIFT on one grayscale image (H, W) float32 in [0, 1].
+
+    Returns SiftFeatures with K = n_octaves * max_per_octave * 2 slots.
+    """
+    octaves, _ = build_scale_space(image, cfg)
+    outs = []
+    for o, stack in enumerate(octaves):
+        delta = 2.0 ** o
+        kp = _detect_octave(stack, cfg, o)
+        gy, gx = jnp.gradient(stack, axis=(-2, -1))
+        theta, ok_theta = _orientations(gx, gy, kp, cfg)
+        for slot in range(2):
+            th = theta[:, slot]
+            desc = _descriptors(gx, gy, kp, th, cfg)
+            mask = kp["valid"] & ok_theta[:, slot]
+            outs.append(SiftFeatures(
+                xy=jnp.stack([kp["x"] * delta, kp["y"] * delta], -1),
+                scale=kp["sigma_rel"] * delta,
+                orientation=th,
+                desc=desc,
+                mask=mask,
+                response=jnp.abs(kp["value"])))
+    return SiftFeatures(*[jnp.concatenate([getattr(f, n) for f in outs])
+                          for n in SiftFeatures._fields])
+
+
+def extract_to_numpy(image, cfg: SiftConfig = SiftConfig(), max_features=None):
+    """Host convenience: run extract, compact to valid rows, sort by scale
+    (descending response)."""
+    f = extract(jnp.asarray(image, jnp.float32), cfg)
+    mask = np.asarray(f.mask)
+    idx = np.nonzero(mask)[0]
+    order = idx[np.argsort(-np.asarray(f.response)[idx], kind="stable")]
+    if max_features is not None:
+        order = order[:max_features]
+    feats = np.concatenate([
+        np.asarray(f.xy)[order],
+        np.asarray(f.scale)[order][:, None],
+        np.asarray(f.orientation)[order][:, None]], axis=1)
+    return feats, np.asarray(f.desc)[order]
