@@ -1,0 +1,375 @@
+"""Command-line pipeline — the openMVG_main_* binaries as subcommands.
+
+Reference parity (software/SfM/, option names kept where they matter):
+  init      main_SfMInit_ImageListing.cpp  (EXIF -> sfm_data.json)
+  features  main_ComputeFeatures.cpp       (SIFT/AKAZE, presets)
+  pairs     main_PairGenerator.cpp         (EXHAUSTIVE | CONTIGUOUS)
+  matches   main_ComputeMatches.cpp        (ratio 0.8, matcher selection)
+  filter    main_GeometricFilter.cpp       (AC-RANSAC f|e|h|a, 4px, 2048 it)
+  sfm       main_SfM.cpp                   (INCREMENTAL | GLOBAL engines)
+  color     main_ComputeSfM_DataColor.cpp
+  export    main_ConvertSfM_DataFormat + PLY/Colmap/NVM exporters
+  eval      main_evalQuality.cpp           (Strecha GT)
+
+Stages communicate through the same on-disk artifacts as the reference
+(sfm_data.json/bin, .feat/.desc, matches.*.bin) so mixed pipelines work.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_scene(path):
+    from openmvg_tpu.io.sfm_data import load_sfm_data
+
+    return load_sfm_data(path)
+
+
+def cmd_init(args):
+    from openmvg_tpu.io.image import (focal_from_exif, load_sensor_database,
+                                      read_exif)
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.models import cameras as cm
+    from openmvg_tpu.sfm.scene import Scene
+
+    exts = (".jpg", ".jpeg", ".png", ".tif", ".tiff")
+    files = sorted(f for f in os.listdir(args.imageDirectory)
+                   if f.lower().endswith(exts))
+    if not files:
+        print("no images found", file=sys.stderr)
+        return 1
+    db = load_sensor_database(args.sensorWidthDatabase)
+    scene = Scene(root_path=os.path.abspath(args.imageDirectory))
+    kinds, widths, heights, params, intr_of_view = [], [], [], [], []
+    group_key = {}
+    for f in files:
+        exif = read_exif(os.path.join(args.imageDirectory, f))
+        w, h = exif["width"], exif["height"]
+        focal = args.focal or focal_from_exif(exif, db)
+        if focal is None:
+            focal = 1.2 * max(w, h)  # the reference's fallback heuristic
+        key = (w, h, round(focal, 2), exif.get("model", "")) if args.group_camera_model else f
+        if key not in group_key:
+            group_key[key] = len(kinds)
+            kinds.append(args.camera_model)
+            widths.append(float(w))
+            heights.append(float(h))
+            p = np.zeros(cm.MAX_PARAMS)
+            p[0:3] = [focal, w / 2.0, h / 2.0]
+            params.append(p)
+        intr_of_view.append(group_key[key])
+        scene.view_filename.append(f)
+    n = len(files)
+    scene.view_intrinsic = np.asarray(intr_of_view, np.int32)
+    scene.view_pose = np.arange(n, dtype=np.int32)
+    scene.view_wh = np.asarray(
+        [[widths[i], heights[i]] for i in intr_of_view], np.int32)
+    scene.cameras = cm.Cameras(kind=np.asarray(kinds, np.int32),
+                               width=np.asarray(widths),
+                               height=np.asarray(heights),
+                               params=np.stack(params))
+    scene.pose_valid = np.zeros(n, bool)
+    scene.pose_R = np.tile(np.eye(3), (n, 1, 1))
+    scene.pose_C = np.zeros((n, 3))
+    os.makedirs(args.outputDirectory, exist_ok=True)
+    save_sfm_data(scene, os.path.join(args.outputDirectory, "sfm_data.json"))
+    print(f"listed {n} views, {len(kinds)} intrinsic group(s)")
+    return 0
+
+
+def cmd_features(args):
+    from openmvg_tpu.io.features_io import save_descs, save_feats
+    from openmvg_tpu.io.image import read_image
+    from openmvg_tpu.sfm.describer import describe_image
+
+    scene = _load_scene(args.input_file)
+    os.makedirs(args.outdir, exist_ok=True)
+    t0 = time.time()
+    for v, name in enumerate(scene.view_filename):
+        stem = os.path.splitext(os.path.basename(name))[0]
+        featp = os.path.join(args.outdir, stem + ".feat")
+        descp = os.path.join(args.outdir, stem + ".desc")
+        if not args.force and os.path.exists(featp) and os.path.exists(descp):
+            continue
+        img = read_image(os.path.join(scene.root_path, name), grayscale=True)
+        feats, descs = describe_image(img, args.describerMethod,
+                                      args.describerPreset)
+        save_feats(featp, feats)
+        save_descs(descp, descs)
+        print(f"  {name}: {len(feats)} features")
+    print(f"features done in {time.time() - t0:.1f}s")
+    return 0
+
+
+def cmd_pairs(args):
+    from openmvg_tpu.utils.graph import contiguous_pairs, exhaustive_pairs
+
+    scene = _load_scene(args.input_file)
+    n = scene.n_views
+    pairs = (contiguous_pairs(n, args.contiguous_count)
+             if args.pair_mode.upper() == "CONTIGUOUS" else exhaustive_pairs(n))
+    with open(args.output_file, "w") as f:
+        for i, j in pairs:
+            f.write(f"{i} {j}\n")
+    print(f"{len(pairs)} pairs")
+    return 0
+
+
+def load_pairs_file(path):
+    pairs = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                pairs.append((int(parts[0]), int(parts[1])))
+    return pairs
+
+
+def _load_features_for_scene(scene, matchdir):
+    from openmvg_tpu.io.features_io import load_descs, load_feats
+
+    feats, descs = [], []
+    for name in scene.view_filename:
+        stem = os.path.splitext(os.path.basename(name))[0]
+        feats.append(load_feats(os.path.join(matchdir, stem + ".feat")))
+        descs.append(load_descs(os.path.join(matchdir, stem + ".desc")))
+    return feats, descs
+
+
+def cmd_matches(args):
+    import jax
+    import jax.numpy as jnp
+    from openmvg_tpu.io.matches_io import save_matches
+    from openmvg_tpu.ops import matching
+    from openmvg_tpu.utils.graph import exhaustive_pairs
+
+    scene = _load_scene(args.input_file)
+    matchdir = args.matchdir or os.path.dirname(args.output_file)
+    feats, descs = _load_features_for_scene(scene, matchdir)
+    pairs = (load_pairs_file(args.pair_list) if args.pair_list
+             else exhaustive_pairs(scene.n_views))
+    nmax = max((len(d) for d in descs), default=0)
+    nmax = 1 << int(np.ceil(np.log2(max(nmax, 64))))
+    V = scene.n_views
+    stack = np.zeros((V, nmax, 128), np.uint8)
+    counts = np.zeros(V, np.int32)
+    for v, d in enumerate(descs):
+        stack[v, : len(d)] = d
+        counts[v] = len(d)
+    descs_j = jnp.asarray(stack)
+    counts_j = jnp.asarray(counts)
+    method = ("cascade" if args.nearest_matching_method.upper()
+              in ("FASTCASCADEHASHINGL2", "CASCADEHASHINGL2") else "bruteforce")
+    kw = {}
+    if method == "cascade":
+        kw["proj"] = matching.make_hash_projections(jax.random.PRNGKey(0))
+        kw["mean"] = jnp.asarray(stack[0, :max(counts[0], 1)].mean(0),
+                                 jnp.float32)
+    out = {}
+    B = 16
+    t0 = time.time()
+    for s in range(0, len(pairs), B):
+        chunk = pairs[s:s + B]
+        pad = chunk + [chunk[-1]] * (B - len(chunk))
+        res = matching.match_pair_batch(
+            descs_j, counts_j, jnp.asarray(pad, jnp.int32),
+            ratio=args.ratio, method=method, **kw)
+        out.update(matching.matches_to_dict(np.asarray(pad)[: len(chunk)],
+                                            res))
+    save_matches(out, args.output_file)
+    n_m = sum(len(m) for m in out.values())
+    print(f"{len(out)} matched pairs, {n_m} putative matches "
+          f"in {time.time() - t0:.1f}s")
+    return 0
+
+
+def cmd_filter(args):
+    from openmvg_tpu.io.matches_io import load_matches, save_matches
+    from openmvg_tpu.sfm.geometric_filter import geometric_filter
+
+    scene = _load_scene(args.input_file)
+    matchdir = os.path.dirname(args.matches)
+    feats, _ = _load_features_for_scene(scene, matchdir)
+    putative = load_matches(args.matches)
+    t0 = time.time()
+    filtered = geometric_filter(
+        scene, feats, putative, model=args.geometric_model,
+        threshold_px=4.0, n_samples=args.max_iteration)
+    save_matches(filtered, args.output_file)
+    n_m = sum(len(m) for m in filtered.values())
+    print(f"{len(filtered)}/{len(putative)} pairs kept, {n_m} matches "
+          f"in {time.time() - t0:.1f}s")
+    return 0
+
+
+def cmd_sfm(args):
+    from openmvg_tpu.io.matches_io import load_matches
+    from openmvg_tpu.io.ply import save_scene_ply
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.sfm import ba
+
+    scene = _load_scene(args.input_file)
+    feats, _ = _load_features_for_scene(scene, args.match_dir)
+    matches = load_matches(args.match_file or os.path.join(
+        args.match_dir, "matches.f.bin"))
+    os.makedirs(args.output_dir, exist_ok=True)
+    t0 = time.time()
+    engine = args.sfm_engine.upper()
+    refine = (ba.ADJUST_ALL if args.refine_intrinsic_config == "ADJUST_ALL"
+              else ba.ADJUST_NONE)
+    if engine in ("INCREMENTAL", "INCREMENTALV2"):
+        from openmvg_tpu.sfm.pipeline_incremental import (IncrementalConfig,
+                                                          incremental_sfm)
+
+        cfg = IncrementalConfig(verbose=True, refine_intrinsics=refine)
+        incremental_sfm(scene, feats, matches, cfg)
+    elif engine == "GLOBAL":
+        from openmvg_tpu.sfm.pipeline_global import GlobalConfig, global_sfm
+
+        cfg = GlobalConfig(verbose=True, refine_intrinsics=refine)
+        global_sfm(scene, feats, matches, cfg)
+    else:
+        print(f"engine {engine} not available", file=sys.stderr)
+        return 1
+    from openmvg_tpu.sfm.scene import rmse
+
+    save_sfm_data(scene, os.path.join(args.output_dir, "sfm_data.bin")
+                  if args.output_format == "bin"
+                  else os.path.join(args.output_dir, "sfm_data.json"))
+    save_scene_ply(scene, os.path.join(args.output_dir, "cloud_and_poses.ply"))
+    print(f"SfM done in {time.time() - t0:.1f}s: "
+          f"{int(scene.pose_valid.sum())} poses, {scene.n_landmarks} points, "
+          f"rmse={rmse(scene):.3f}px")
+    return 0
+
+
+def cmd_color(args):
+    from openmvg_tpu.io.ply import save_ply
+    from openmvg_tpu.sfm.colorize import colorize
+
+    scene = _load_scene(args.input_file)
+    colors = colorize(scene)
+    save_ply(args.output_file, scene.X[scene.X_valid],
+             colors[scene.X_valid],
+             camera_centers=scene.pose_C[scene.pose_valid])
+    print(f"colorized {int(scene.X_valid.sum())} points")
+    return 0
+
+
+def cmd_export(args):
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.io import exporters
+
+    scene = _load_scene(args.input_file)
+    fmt = args.format.lower()
+    if fmt in ("json", "bin"):
+        save_sfm_data(scene, args.output_file)
+    elif fmt == "ply":
+        from openmvg_tpu.io.ply import save_scene_ply
+
+        save_scene_ply(scene, args.output_file)
+    elif fmt == "nvm":
+        exporters.export_nvm(scene, args.output_file)
+    elif fmt == "colmap":
+        exporters.export_colmap(scene, args.output_file)
+    else:
+        print(f"unknown format {fmt}", file=sys.stderr)
+        return 1
+    print(f"exported {fmt}")
+    return 0
+
+
+def cmd_eval(args):
+    from openmvg_tpu.io.gt_loaders import load_strecha_gt
+    from openmvg_tpu.sfm.eval_quality import evaluate_against_gt
+
+    scene = _load_scene(args.input_file)
+    gt = load_strecha_gt(args.gt_dir)
+    stats = evaluate_against_gt(scene, gt)
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="openmvg_tpu",
+                                 description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("init")
+    p.add_argument("-i", "--imageDirectory", required=True)
+    p.add_argument("-o", "--outputDirectory", required=True)
+    p.add_argument("-d", "--sensorWidthDatabase", default=None)
+    p.add_argument("-f", "--focal", type=float, default=None)
+    p.add_argument("-c", "--camera_model", type=int, default=3)
+    p.add_argument("-g", "--group_camera_model", type=int, default=1)
+    p.set_defaults(fn=cmd_init)
+
+    p = sub.add_parser("features")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--outdir", required=True)
+    p.add_argument("-m", "--describerMethod", default="SIFT")
+    p.add_argument("-p", "--describerPreset", default="NORMAL")
+    p.add_argument("-f", "--force", action="store_true")
+    p.set_defaults(fn=cmd_features)
+
+    p = sub.add_parser("pairs")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-m", "--pair_mode", default="EXHAUSTIVE")
+    p.add_argument("-c", "--contiguous_count", type=int, default=5)
+    p.set_defaults(fn=cmd_pairs)
+
+    p = sub.add_parser("matches")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-p", "--pair_list", default=None)
+    p.add_argument("-d", "--matchdir", default=None)
+    p.add_argument("-r", "--ratio", type=float, default=0.8)
+    p.add_argument("-n", "--nearest_matching_method", default="AUTO")
+    p.set_defaults(fn=cmd_matches)
+
+    p = sub.add_parser("filter")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--matches", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-g", "--geometric_model", default="f")
+    p.add_argument("--max_iteration", type=int, default=2048)
+    p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser("sfm")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--match_dir", required=True)
+    p.add_argument("-M", "--match_file", default=None)
+    p.add_argument("-o", "--output_dir", required=True)
+    p.add_argument("-s", "--sfm_engine", default="INCREMENTAL")
+    p.add_argument("-f", "--refine_intrinsic_config", default="ADJUST_ALL")
+    p.add_argument("--output_format", default="json")
+    p.set_defaults(fn=cmd_sfm)
+
+    p = sub.add_parser("color")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.set_defaults(fn=cmd_color)
+
+    p = sub.add_parser("export")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-f", "--format", required=True)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("eval")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-g", "--gt_dir", required=True)
+    p.set_defaults(fn=cmd_eval)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

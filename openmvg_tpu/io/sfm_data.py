@@ -235,19 +235,20 @@ def load_sfm_data_json(path: str, parts: int = ALL) -> Scene:
         scene.cameras = cm.Cameras(kind=kind, width=width, height=height,
                                    params=params)
 
-    if parts & EXTRINSICS and doc.get("extrinsics"):
-        entries = {int(e["key"]): e["value"] for e in doc["extrinsics"]}
-        n = max(entries) + 1
-        # pose table sized to cover view pose ids too
-        if scene.n_views:
-            n = max(n, int(scene.view_pose.max()) + 1)
-        scene.pose_valid = np.zeros(n, bool)
-        scene.pose_R = np.tile(np.eye(3), (n, 1, 1))
-        scene.pose_C = np.zeros((n, 3))
-        for k, val in entries.items():
-            scene.pose_valid[k] = True
-            scene.pose_R[k] = np.asarray(val["rotation"], float)
-            scene.pose_C[k] = np.asarray(val["center"], float)
+    # pose table always sized to cover view pose ids (a scene with no
+    # extrinsics yet still needs writable pose slots for the engines)
+    entries = ({int(e["key"]): e["value"] for e in doc.get("extrinsics", [])}
+               if parts & EXTRINSICS else {})
+    n = (max(entries) + 1) if entries else 0
+    if scene.n_views and len(scene.view_pose):
+        n = max(n, int(scene.view_pose.max()) + 1)
+    scene.pose_valid = np.zeros(n, bool)
+    scene.pose_R = np.tile(np.eye(3), (n, 1, 1))
+    scene.pose_C = np.zeros((n, 3))
+    for k, val in entries.items():
+        scene.pose_valid[k] = True
+        scene.pose_R[k] = np.asarray(val["rotation"], float)
+        scene.pose_C[k] = np.asarray(val["center"], float)
 
     if parts & STRUCTURE and doc.get("structure"):
         _load_landmarks(doc["structure"], scene)

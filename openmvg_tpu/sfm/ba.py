@@ -324,14 +324,24 @@ def adjust(p: BAProblem, cfg: BAConfig = BAConfig(), verbose=False):
 # scene <-> problem
 # ---------------------------------------------------------------------------
 
+def _pow2(n, lo=32):
+    k = lo
+    while k < n:
+        k *= 2
+    return k
+
+
 def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
                        refine_intrinsics=ADJUST_NONE, refine_structure=True,
-                       dtype=jnp.float64):
+                       dtype=jnp.float64, pad_pow2=True):
     """Build a BAProblem from a Scene (Optimize_Options parity).
 
     refine_intrinsics: ADJUST_NONE | ADJUST_ALL | iterable of column ids.
     Pose/intrinsic/landmark ids are compacted to the used subsets; returns
     (problem, index_maps) where index_maps hold the original ids.
+    With pad_pow2, observation and landmark counts are padded to powers of
+    two (obs_w = 0 / mask_X = 0 padding) so repeated solves on a growing
+    scene reuse compiled executables.
     """
     info = scene.obs_arrays_for_ba()
     pose_ids = np.unique(info["pose_id"])
@@ -370,37 +380,58 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
         for i, k in enumerate(kinds):
             mask_intr[i, cm.N_PARAMS[int(k)]:] = 0.0
 
+    n_obs, n_pose, n_intr, n_pts = (len(obs_pose), len(pose_ids),
+                                    len(intr_ids), len(point_ids))
+    if pad_pow2:
+        O2, P2, L2 = _pow2(max(n_obs, 1)), _pow2(max(n_pose, 1), 4), _pow2(max(n_pts, 1))
+    else:
+        O2, P2, L2 = n_obs, n_pose, n_pts
+
+    def padv(a, n, fill=0.0):
+        a = np.asarray(a)
+        if len(a) >= n:
+            return a
+        return np.concatenate(
+            [a, np.full((n - len(a),) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    obs_w = padv(np.ones(n_obs), O2)
+    X_arr = padv(scene.X[point_ids], L2)
+    mask_X_arr = padv(np.full(n_pts, 1.0 if refine_structure else 0.0), L2)
     p = BAProblem(
-        obs_pose=jnp.asarray(obs_pose),
-        obs_intr=jnp.asarray(obs_intr),
-        obs_point=jnp.asarray(obs_point),
-        obs_x=jnp.asarray(info["x"], dtype),
-        obs_w=jnp.ones(len(obs_pose), dtype),
-        rotvec=jnp.asarray(rotvec, dtype),
-        t=jnp.asarray(t, dtype),
-        intr_kind=jnp.asarray(scene.cameras.kind)[jnp.asarray(intr_ids)],
-        intr_wh=jnp.stack([jnp.asarray(scene.cameras.width, dtype)[jnp.asarray(intr_ids)],
-                           jnp.asarray(scene.cameras.height, dtype)[jnp.asarray(intr_ids)]], -1),
-        intr_params=jnp.asarray(scene.cameras.params, dtype)[jnp.asarray(intr_ids)],
-        X=jnp.asarray(scene.X[point_ids], dtype),
-        mask_pose=jnp.asarray(mask_pose, dtype),
+        obs_pose=jnp.asarray(padv(obs_pose, O2), jnp.int32),
+        obs_intr=jnp.asarray(padv(obs_intr, O2), jnp.int32),
+        obs_point=jnp.asarray(padv(obs_point, O2), jnp.int32),
+        obs_x=jnp.asarray(padv(info["x"], O2), dtype),
+        obs_w=jnp.asarray(obs_w, dtype),
+        rotvec=jnp.asarray(padv(rotvec, P2), dtype),
+        t=jnp.asarray(padv(t, P2), dtype),
+        intr_kind=jnp.asarray(np.asarray(scene.cameras.kind)[intr_ids], jnp.int32),
+        intr_wh=jnp.asarray(np.stack(
+            [np.asarray(scene.cameras.width)[intr_ids],
+             np.asarray(scene.cameras.height)[intr_ids]], -1), dtype),
+        intr_params=jnp.asarray(np.asarray(scene.cameras.params)[intr_ids], dtype),
+        X=jnp.asarray(X_arr, dtype),
+        mask_pose=jnp.asarray(padv(mask_pose, P2), dtype),
         mask_intr=jnp.asarray(mask_intr, dtype),
-        mask_X=jnp.ones(len(point_ids), dtype) * (1.0 if refine_structure else 0.0),
+        mask_X=jnp.asarray(mask_X_arr, dtype),
     )
     return p, dict(pose_ids=pose_ids, intr_ids=intr_ids, point_ids=point_ids)
 
 
 def scene_from_problem(scene, p: BAProblem, maps):
-    """Write optimized parameters back into the Scene (in place)."""
-    R = np.asarray(so3.expmap(p.rotvec))
-    t = np.asarray(p.t)
+    """Write optimized parameters back into the Scene (in place);
+    padded rows beyond the index maps are ignored."""
+    nP = len(maps["pose_ids"])
+    nL = len(maps["point_ids"])
+    R = np.asarray(so3.expmap(p.rotvec[:nP]))
+    t = np.asarray(p.t[:nP])
     C = -np.einsum("nji,nj->ni", R, t)
     scene.pose_R[maps["pose_ids"]] = R
     scene.pose_C[maps["pose_ids"]] = C
-    params = np.asarray(p.intr_params)
+    params = np.asarray(p.intr_params)[: len(maps["intr_ids"])]
     cams = scene.cameras
     newp = np.asarray(cams.params).copy()
     newp[maps["intr_ids"]] = params
     scene.cameras = cams._replace(params=newp)
-    scene.X[maps["point_ids"]] = np.asarray(p.X)
+    scene.X[maps["point_ids"]] = np.asarray(p.X[:nL])
     return scene

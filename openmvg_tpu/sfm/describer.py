@@ -1,0 +1,47 @@
+"""Image describer dispatch — the Image_describer layer.
+
+Reference parity: features/image_describer.hpp Describe + the method/preset
+enums of main_ComputeFeatures.cpp:77-86 (SIFT | SIFT_ANATOMY | AKAZE_FLOAT
+| AKAZE_MLDB; presets NORMAL/HIGH/ULTRA).  SIFT and SIFT_ANATOMY both map
+to the TPU SIFT (ops/sift.py — the vlfeat path is superseded, flag kept);
+AKAZE maps to ops/akaze.py when available.
+
+Images from the same camera share a shape, so jit-compilation buckets by
+(H, W) naturally.
+"""
+
+import numpy as np
+
+from openmvg_tpu.ops import sift
+
+PRESETS = {
+    "NORMAL": dict(peak_threshold=0.04),
+    "HIGH": dict(peak_threshold=0.01),
+    "ULTRA": dict(peak_threshold=0.01),  # upsampling pending
+}
+
+
+def make_config(method="SIFT", preset="NORMAL", max_features=8192,
+                image_shape=None):
+    p = PRESETS.get(preset.upper(), PRESETS["NORMAL"])
+    n_oct = 4
+    if image_shape is not None:
+        n_oct = max(1, min(6, int(np.log2(min(image_shape) / 16))))
+    return sift.SiftConfig(peak_threshold=p["peak_threshold"],
+                           n_octaves=n_oct,
+                           max_per_octave=max(256, max_features // n_oct))
+
+
+def describe_image(gray_image, method="SIFT", preset="NORMAL",
+                   max_features=8192):
+    """(H, W) float [0,1] -> (feats (N,4) [x y scale ori], descs (N,128) u8)."""
+    method = method.upper()
+    if method in ("SIFT", "SIFT_ANATOMY"):
+        cfg = make_config(method, preset, max_features, gray_image.shape)
+        return sift.extract_to_numpy(gray_image, cfg, max_features=max_features)
+    if method.startswith("AKAZE"):
+        from openmvg_tpu.ops import akaze
+
+        return akaze.extract_to_numpy(gray_image, method=method,
+                                      max_features=max_features)
+    raise ValueError(f"unknown describer method {method}")

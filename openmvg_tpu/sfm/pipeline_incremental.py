@@ -374,7 +374,8 @@ def _refine_pose_only(scene, v, cfg):
                                        dtype=cfg.dtype)
     if prob.obs_pose.shape[0] == 0:
         return
-    free = (maps["pose_ids"] == pid).astype(float)
+    free = np.zeros(prob.mask_pose.shape[0])
+    free[: len(maps["pose_ids"])] = (maps["pose_ids"] == pid).astype(float)
     prob = prob._replace(mask_pose=prob.mask_pose * jnp.asarray(free)[:, None])
     prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=8))
     ba.scene_from_problem(scene, prob, maps)
