@@ -1,0 +1,142 @@
+"""Localization of new images in an existing reconstruction.
+
+Reference parity: sfm/pipelines/localization/SfM_Localizer.cpp (:109
+Localize = AC-RANSAC resection over 2D-3D matches, :345 RefinePose =
+pose-only BA) and SfM_Localizer_Single_3DTrackObservation_Database.cpp
+(landmark descriptor database: one representative descriptor per landmark
+observation, matched against the query image's descriptors);
+CLI software/Localization/main_SfM_Localization.cpp.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmvg_tpu.models import cameras as cm
+from openmvg_tpu.ops import matching
+from openmvg_tpu.sfm import ba, robust
+from openmvg_tpu.sfm.pipeline_incremental import _pad_pow2
+
+
+class LandmarkDB(NamedTuple):
+    """Descriptor database over reconstructed landmarks."""
+
+    desc: np.ndarray       # (M, 128) representative descriptors
+    landmark: np.ndarray   # (M,) landmark id per row
+    X: np.ndarray          # (L, 3) landmark positions
+
+
+def build_landmark_database(scene, descs_per_view) -> LandmarkDB:
+    """One database row per (landmark, observation) with a descriptor
+    (SfM_Localizer_Single_3DTrackObservation_Database::Init)."""
+    rows_d, rows_l = [], []
+    ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
+    for idx in np.nonzero(ok)[0]:
+        v = int(scene.obs_view[idx])
+        f = int(scene.obs_feat[idx])
+        d = descs_per_view[v]
+        if d is None or f >= len(d):
+            continue
+        rows_d.append(d[f])
+        rows_l.append(int(scene.obs_landmark[idx]))
+    if not rows_d:
+        return LandmarkDB(np.zeros((0, 128), np.uint8), np.zeros(0, np.int64),
+                          scene.X)
+    return LandmarkDB(np.stack(rows_d), np.asarray(rows_l), scene.X)
+
+
+class LocalizationResult(NamedTuple):
+    found: bool
+    R: Optional[np.ndarray]
+    C: Optional[np.ndarray]
+    n_inliers: int
+    threshold_px: float
+
+
+def localize_image(db: LandmarkDB, query_feats, query_descs, K, w, h,
+                   ratio=0.8, n_samples=1024, refine=True, seed=0,
+                   kind=cm.PINHOLE, disto_params=None) -> LocalizationResult:
+    """Match query descriptors against the landmark DB, then AC-RANSAC
+    P3P + optional pose-only refinement."""
+    if len(db.desc) < 10 or len(query_descs) < 10:
+        return LocalizationResult(False, None, None, 0, 0.0)
+    # 2-NN ratio against the best DIFFERENT-landmark candidate: the DB holds
+    # several near-identical descriptors per landmark (one per observation),
+    # which would otherwise defeat the ratio test
+    dist = matching.l2_distance_matrix(jnp.asarray(query_descs),
+                                       jnp.asarray(db.desc))
+    k = min(8, dist.shape[1])
+    neg, idx = jax.lax.top_k(-dist, k)
+    d_sorted = -np.asarray(neg)
+    idx = np.asarray(idx)
+    lm_of = db.landmark[idx]  # (Q, k)
+    d1 = d_sorted[:, 0]
+    best_lm = lm_of[:, 0]
+    diff = lm_of != best_lm[:, None]
+    d2 = np.where(diff.any(axis=1),
+                  np.take_along_axis(
+                      d_sorted, np.argmax(diff, axis=1)[:, None], axis=1)[:, 0],
+                  np.inf)
+    keep = d1 < (ratio * ratio) * d2
+    qi = np.nonzero(keep)[0]
+    if len(qi) < 8:
+        return LocalizationResult(False, None, None, 0, 0.0)
+    li = best_lm[qi]
+    x2d = np.asarray(query_feats)[qi, :2]
+    X3d = db.X[li]
+
+    params = np.zeros(cm.MAX_PARAMS)
+    params[0] = K[0, 0]
+    params[1:3] = K[:2, 2]
+    if disto_params is not None:
+        params[3:3 + len(disto_params)] = disto_params
+    kj = jnp.full((), kind, jnp.int32)
+    b = np.asarray(cm.bearing(kj, jnp.asarray(params), float(w), float(h),
+                              jnp.asarray(x2d)))
+    n = len(x2d)
+    (x_p, b_p, X_p), k = _pad_pow2([x2d, b, X3d], n)
+    valid = np.arange(k) < n
+    out = robust.robust_resection_p3p(
+        jax.random.PRNGKey(seed), jnp.asarray(b_p), jnp.asarray(x_p),
+        jnp.asarray(X_p), jnp.asarray(K), jnp.asarray(valid),
+        float(w), float(h), n_samples=n_samples)
+    inl = np.asarray(out.inliers)[:n]
+    if not bool(out.found) or inl.sum() < 8:
+        return LocalizationResult(False, None, None, int(inl.sum()), 0.0)
+    R = np.asarray(out.model[0])
+    t = np.asarray(out.model[1])
+    C = -R.T @ t
+
+    if refine:
+        R, C = _refine_pose(R, C, params, kind, w, h, x2d[inl], X3d[inl])
+    return LocalizationResult(True, R, C, int(inl.sum()),
+                              float(np.sqrt(float(out.threshold_sq))))
+
+
+def _refine_pose(R, C, params, kind, w, h, x2d, X3d):
+    """Pose-only BA on the inlier 2D-3D set (SfM_Localizer::RefinePose)."""
+    from openmvg_tpu.geometry import so3
+
+    n = len(x2d)
+    prob = ba.BAProblem(
+        obs_pose=jnp.zeros(n, jnp.int32),
+        obs_intr=jnp.zeros(n, jnp.int32),
+        obs_point=jnp.arange(n, dtype=jnp.int32),
+        obs_x=jnp.asarray(x2d),
+        obs_w=jnp.ones(n),
+        rotvec=jnp.asarray(np.asarray(so3.logmap(jnp.asarray(R)))[None]),
+        t=jnp.asarray((-R @ C)[None]),
+        intr_kind=jnp.full((1,), kind, jnp.int32),
+        intr_wh=jnp.asarray([[w, h]], jnp.float64),
+        intr_params=jnp.asarray(params[None]),
+        X=jnp.asarray(X3d),
+        mask_pose=jnp.ones((1, 6)),
+        mask_intr=jnp.zeros((1, 8)),
+        mask_X=jnp.zeros(n),
+    )
+    prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=10))
+    R2 = np.asarray(so3.expmap(prob.rotvec[0]))
+    t2 = np.asarray(prob.t[0])
+    return R2, -R2.T @ t2

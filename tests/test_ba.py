@@ -39,7 +39,7 @@ def scene_from_ring(s, noise_X=0.0, noise_pose=0.0, noise_px=0.0, seed=0,
     sc.obs_view = np.asarray(ov, np.int32)
     sc.obs_x = np.asarray(ox) + (rng.normal(scale=noise_px, size=(len(ol), 2))
                                  if noise_px else 0.0)
-    sc.obs_feat = np.arange(len(ol), dtype=np.int32)
+    sc.obs_feat = np.asarray(ol, np.int32)  # feature id == point row per view
     sc.obs_valid = np.ones(len(ol), bool)
     return sc
 
