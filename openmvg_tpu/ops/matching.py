@@ -98,6 +98,47 @@ def match_brute_force(desc_a, desc_b, valid_a=None, valid_b=None, ratio=0.8):
                        mask=keep, dist=d1)
 
 
+def _unpack_bits_pm1(packed):
+    """(N, B) uint8 -> (N, 8B) +/-1 bf16 sign codes."""
+    weights = jnp.asarray(2 ** np.arange(8), jnp.uint8)
+    bits = (packed[..., :, None] & weights[None, None, :]) > 0
+    s = jnp.where(bits, 1.0, -1.0).astype(jnp.bfloat16)
+    return s.reshape(packed.shape[0], -1)
+
+
+@partial(jax.jit, static_argnames=("ratio",))
+def match_brute_force_hamming(desc_a, desc_b, valid_a=None, valid_b=None,
+                              ratio=0.8):
+    """Brute-force Hamming 2-NN matching of packed binary descriptors
+    (metric_hamming.hpp popcount -> one bf16 sign matmul on the MXU:
+    hamming = (bits - s_a . s_b) / 2, exact for <= 4096 bits)."""
+    sa = _unpack_bits_pm1(desc_a)
+    sb = _unpack_bits_pm1(desc_b)
+    bits = sa.shape[1]
+    ham = (bits - jax.lax.dot_general(
+        sa, sb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)) * 0.5
+    d1, d2, idx1 = two_nn(ham, valid_b)
+    # NOTE: hamming distances are linear, not squared — the ratio applies
+    # directly (NNdistanceRatio on the metric values, matching_filters.hpp)
+    keep = d1 < ratio * d2
+    if valid_a is not None:
+        keep = keep & valid_a
+    keep = dedupe_right(idx1, keep, d1, desc_b.shape[0])
+    return MatchResult(idx_a=jnp.arange(desc_a.shape[0]), idx_b=idx1,
+                       mask=keep, dist=d1)
+
+
+def preemptive_subset(feats, descs, k=200):
+    """Preemptive matching subset: the k largest-scale features
+    (main_ComputeMatches.cpp:55-57, sfm_preemptive_regions_provider.hpp:19)."""
+    feats = np.asarray(feats)
+    if len(feats) <= k:
+        return feats, np.asarray(descs)
+    order = np.argsort(-feats[:, 2], kind="stable")[:k]
+    return feats[order], np.asarray(descs)[order]
+
+
 # ---------------------------------------------------------------------------
 # cascade-hashing-style Hamming prefilter
 # ---------------------------------------------------------------------------

@@ -29,7 +29,8 @@ def make_distributed_lm_step(mesh, cfg: ba.BAConfig, axis="hosts"):
         obs_pose=P(axis), obs_intr=P(axis), obs_point=P(axis),
         obs_x=P(axis), obs_w=P(axis),
         rotvec=P(), t=P(), intr_kind=P(), intr_wh=P(), intr_params=P(),
-        X=P(), mask_pose=P(), mask_intr=P(), mask_X=P())
+        X=P(), mask_pose=P(), mask_intr=P(), mask_X=P(),
+        prior_C=P(), prior_w=P())
 
     def step(p, lam):
         return ba.lm_step_impl(p, lam, cfg, axis=axis)

@@ -54,6 +54,8 @@ class BAProblem(NamedTuple):
     mask_pose: jnp.ndarray  # (P, 6) 1 = free
     mask_intr: jnp.ndarray  # (I, 8)
     mask_X: jnp.ndarray     # (L,) 1 = free
+    prior_C: jnp.ndarray    # (P, 3) GPS pose-center priors (ViewPriors)
+    prior_w: jnp.ndarray    # (P, 3) per-axis prior weights (0 = no prior)
 
 
 class BAConfig(NamedTuple):
@@ -76,6 +78,14 @@ def _residual_one(pose6, intr8, X, kind, wh, x_obs):
     R = so3.expmap(pose6[:3])
     Xc = R @ X + pose6[3:]
     return cm.residual(kind, intr8, wh[0], wh[1], Xc, x_obs)
+
+
+def _prior_residual_one(pose6, prior_C, prior_w):
+    """GPS pose-center prior residual sqrt(w) * (C - prior), C = -R^T t
+    (sfm_data_BA_ceres.cpp:453-473 PoseCenterConstraintCostFunction)."""
+    R = so3.expmap(pose6[:3])
+    C = -R.T @ pose6[3:]
+    return jnp.sqrt(jnp.maximum(prior_w, 0.0)) * (C - prior_C)
 
 
 def _gather_params(p: BAProblem):
@@ -116,6 +126,9 @@ def robust_cost(p: BAProblem, cfg: BAConfig, axis=None):
     else:
         rho = s
     c = 0.5 * jnp.sum(rho * p.obs_w)
+    pose6 = jnp.concatenate([p.rotvec, p.t], axis=-1)
+    rp = jax.vmap(_prior_residual_one)(pose6, p.prior_C, p.prior_w)
+    c = c + 0.5 * jnp.sum(rp * rp)
     if axis is not None:
         c = jax.lax.psum(c, axis)
     return c
@@ -184,8 +197,17 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
     gp, gi = _camera_rmatvec(-r, p, Jp6, Ji8, n_pose, n_intr, axis)
     gx = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, -r), p.obs_point, n_pts, axis)
 
+    # GPS prior blocks (pose-only, dense per pose, replicated under sharding)
+    pose6 = jnp.concatenate([p.rotvec, p.t], axis=-1)
+    Jprior = jax.vmap(jax.jacfwd(_prior_residual_one))(pose6, p.prior_C, p.prior_w)
+    Jprior = Jprior * p.mask_pose[:, None, :]
+    rprior = jax.vmap(_prior_residual_one)(pose6, p.prior_C, p.prior_w)
+    Hprior = jnp.einsum("pij,pik->pjk", Jprior, Jprior)
+    gprior = -jnp.einsum("pij,pi->pj", Jprior, rprior)
+
     # camera diagonal blocks for damping + preconditioner
     Hcc_p = _seg_sum(jnp.einsum("oij,oik->ojk", Jp6, Jp6), p.obs_pose, n_pose, axis)
+    Hcc_p = Hcc_p + Hprior
     Hcc_i = _seg_sum(jnp.einsum("oij,oik->ojk", Ji8, Ji8), p.obs_intr, n_intr, axis)
     dcc_p = jnp.maximum(jnp.diagonal(Hcc_p, axis1=-2, axis2=-1), 1e-12)
     dcc_i = jnp.maximum(jnp.diagonal(Hcc_i, axis1=-2, axis2=-1), 1e-12)
@@ -195,7 +217,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
     # reduced RHS: b = gc - E Hpp^-1 gx  where E v = Jc^T (Jx v)
     z = jnp.einsum("oij,oj->oi", Jx3, Hpp_inv_gx[p.obs_point])
     bp, bi = _camera_rmatvec(z, p, Jp6, Ji8, n_pose, n_intr, axis)
-    bp = gp - bp
+    bp = gp + gprior - bp
     bi = gi - bi
 
     # masks: fixed params have zero J columns; keep their diag=1 so solves
@@ -217,6 +239,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
         y = _solve_sym3(Hpp, w)
         zz = jnp.einsum("oij,oj->oi", Jx3, y[p.obs_point])
         sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr, axis)
+        sp = sp + jnp.einsum("pij,pj->pi", Hprior, vp)
         sp = sp + lam * dcc_p * vp
         si = si + lam * dcc_i * vi
         return sp, si
@@ -333,7 +356,8 @@ def _pow2(n, lo=32):
 
 def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
                        refine_intrinsics=ADJUST_NONE, refine_structure=True,
-                       dtype=jnp.float64, pad_pow2=True):
+                       dtype=jnp.float64, pad_pow2=True, use_gps_priors=False,
+                       use_control_points=True):
     """Build a BAProblem from a Scene (Optimize_Options parity).
 
     refine_intrinsics: ADJUST_NONE | ADJUST_ALL | iterable of column ids.
@@ -344,6 +368,24 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
     scene reuse compiled executables.
     """
     info = scene.obs_arrays_for_ba()
+    # control points become extra observations on FIXED points appended to
+    # the landmark table (GCP residuals, sfm_data_BA_ceres.cpp:398-451)
+    n_cp = len(scene.cp_X) if use_control_points else 0
+    if n_cp:
+        cp_pid = scene.view_pose[scene.cp_obs_view]
+        cp_ok = (cp_pid >= 0) & scene.pose_valid[
+            np.clip(cp_pid, 0, max(scene.n_poses - 1, 0))]
+        info = dict(
+            obs_idx=info["obs_idx"],
+            pose_id=np.concatenate([info["pose_id"], cp_pid[cp_ok]]),
+            intr_id=np.concatenate([
+                info["intr_id"],
+                scene.view_intrinsic[scene.cp_obs_view[cp_ok]]]),
+            landmark_id=np.concatenate([
+                info["landmark_id"],
+                len(scene.X_valid) + scene.cp_obs_landmark[cp_ok]]),
+            x=np.concatenate([info["x"], scene.cp_obs_x[cp_ok]]),
+        )
     pose_ids = np.unique(info["pose_id"])
     intr_ids = np.unique(info["intr_id"])
     point_ids = np.unique(info["landmark_id"])
@@ -395,8 +437,23 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
             [a, np.full((n - len(a),) + a.shape[1:], fill, a.dtype)], axis=0)
 
     obs_w = padv(np.ones(n_obs), O2)
-    X_arr = padv(scene.X[point_ids], L2)
-    mask_X_arr = padv(np.full(n_pts, 1.0 if refine_structure else 0.0), L2)
+    X_all = (np.concatenate([scene.X, scene.cp_X]) if n_cp
+             else scene.X)
+    X_arr = padv(X_all[point_ids], L2)
+    mask_vals = np.full(n_pts, 1.0 if refine_structure else 0.0)
+    if n_cp:
+        mask_vals[point_ids >= len(scene.X_valid)] = 0.0  # GCPs stay fixed
+    mask_X_arr = padv(mask_vals, L2)
+    prior_C = np.zeros((P2, 3))
+    prior_w = np.zeros((P2, 3))
+    if use_gps_priors and scene.prior_center is not None:
+        pm = {int(v): i for i, v in enumerate(pose_ids)}
+        for v in range(scene.n_views):
+            w = scene.prior_center_weight[v]
+            pid = int(scene.view_pose[v])
+            if np.any(w > 0) and pid in pm:
+                prior_C[pm[pid]] = scene.prior_center[v]
+                prior_w[pm[pid]] = w
     p = BAProblem(
         obs_pose=jnp.asarray(padv(obs_pose, O2), jnp.int32),
         obs_intr=jnp.asarray(padv(obs_intr, O2), jnp.int32),
@@ -414,8 +471,11 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
         mask_pose=jnp.asarray(padv(mask_pose, P2), dtype),
         mask_intr=jnp.asarray(mask_intr, dtype),
         mask_X=jnp.asarray(mask_X_arr, dtype),
+        prior_C=jnp.asarray(prior_C, dtype),
+        prior_w=jnp.asarray(prior_w, dtype),
     )
-    return p, dict(pose_ids=pose_ids, intr_ids=intr_ids, point_ids=point_ids)
+    return p, dict(pose_ids=pose_ids, intr_ids=intr_ids, point_ids=point_ids,
+                   n_scene_points=len(scene.X_valid))
 
 
 def scene_from_problem(scene, p: BAProblem, maps):
@@ -423,6 +483,7 @@ def scene_from_problem(scene, p: BAProblem, maps):
     padded rows beyond the index maps are ignored."""
     nP = len(maps["pose_ids"])
     nL = len(maps["point_ids"])
+    n_scene = maps.get("n_scene_points")
     R = np.asarray(so3.expmap(p.rotvec[:nP]))
     t = np.asarray(p.t[:nP])
     C = -np.einsum("nji,nj->ni", R, t)
@@ -433,5 +494,11 @@ def scene_from_problem(scene, p: BAProblem, maps):
     newp = np.asarray(cams.params).copy()
     newp[maps["intr_ids"]] = params
     scene.cameras = cams._replace(params=newp)
-    scene.X[maps["point_ids"]] = np.asarray(p.X[:nL])
+    pids = maps["point_ids"]
+    Xout = np.asarray(p.X[:nL])
+    if n_scene is not None:
+        keep = pids < n_scene
+        scene.X[pids[keep]] = Xout[keep]
+    else:
+        scene.X[pids] = Xout
     return scene

@@ -135,6 +135,8 @@ def _refine_pose(R, C, params, kind, w, h, x2d, X3d):
         mask_pose=jnp.ones((1, 6)),
         mask_intr=jnp.zeros((1, 8)),
         mask_X=jnp.zeros(n),
+        prior_C=jnp.zeros((1, 3)),
+        prior_w=jnp.zeros((1, 3)),
     )
     prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=10))
     R2 = np.asarray(so3.expmap(prob.rotvec[0]))

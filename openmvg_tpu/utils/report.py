@@ -1,0 +1,101 @@
+"""HTML/SVG reconstruction report.
+
+Reference parity: sfm/sfm_report.cpp Generate_SfM_Report — per-scene
+summary (views/poses/landmarks/observations counts, residual histogram)
+as a standalone HTML file; SVG visualizations mirror
+features/svg_features.cpp and matching/svg_matches.cpp.
+"""
+
+import os
+
+import numpy as np
+
+
+def _svg_histogram(values, bins=20, width=560, height=220, title=""):
+    if len(values) == 0:
+        return "<svg/>"
+    hist, edges = np.histogram(values, bins=bins)
+    peak = max(hist.max(), 1)
+    bar_w = width / bins
+    rects = []
+    for i, h in enumerate(hist):
+        bh = h / peak * (height - 40)
+        rects.append(
+            f'<rect x="{i * bar_w:.1f}" y="{height - 20 - bh:.1f}" '
+            f'width="{bar_w - 2:.1f}" height="{bh:.1f}" fill="#4878CF"/>')
+    labels = (
+        f'<text x="4" y="14" font-size="12">{title}</text>'
+        f'<text x="4" y="{height - 4}" font-size="10">{edges[0]:.2f}</text>'
+        f'<text x="{width - 50}" y="{height - 4}" font-size="10">'
+        f'{edges[-1]:.2f}</text>')
+    return (f'<svg width="{width}" height="{height}" '
+            f'xmlns="http://www.w3.org/2000/svg">' + "".join(rects)
+            + labels + "</svg>")
+
+
+def generate_sfm_report(scene, path, title="SfM report"):
+    from openmvg_tpu.sfm.scene import reprojection_residuals, rmse
+
+    r, _ = reprojection_residuals(scene)
+    norms = np.linalg.norm(r, axis=1) if len(r) else np.zeros(0)
+    track_len = np.bincount(scene.obs_landmark[scene.obs_valid]) if \
+        scene.n_observations else np.zeros(0)
+    track_len = track_len[track_len > 0]
+    html = f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>{title}</title></head><body>
+<h1>{title}</h1>
+<table border="1" cellpadding="4">
+<tr><td>views</td><td>{scene.n_views}</td></tr>
+<tr><td>estimated poses</td><td>{int(scene.pose_valid.sum())}</td></tr>
+<tr><td>landmarks</td><td>{scene.n_landmarks}</td></tr>
+<tr><td>observations</td><td>{scene.n_observations}</td></tr>
+<tr><td>mean track length</td>
+<td>{float(track_len.mean()) if len(track_len) else 0:.2f}</td></tr>
+<tr><td>RMSE (px)</td><td>{rmse(scene):.4f}</td></tr>
+</table>
+<h2>Residual norm histogram</h2>
+{_svg_histogram(norms, title="reprojection residual (px)")}
+<h2>Track length histogram</h2>
+{_svg_histogram(track_len, bins=int(track_len.max()) if len(track_len) else 1,
+                title="track length")}
+</body></html>"""
+    with open(path, "w") as f:
+        f.write(html)
+    return True
+
+
+def svg_features(image_wh, feats, path, radius_scale=1.0):
+    """SVG keypoint visualization (features/svg_features.cpp)."""
+    w, h = image_wh
+    parts = [f'<svg width="{w}" height="{h}" '
+             f'xmlns="http://www.w3.org/2000/svg">']
+    for f in np.asarray(feats):
+        r = max(float(f[2]) * radius_scale, 1.0) if len(f) > 2 else 2.0
+        parts.append(f'<circle cx="{f[0]:.1f}" cy="{f[1]:.1f}" r="{r:.1f}" '
+                     f'stroke="yellow" fill="none"/>')
+    parts.append("</svg>")
+    with open(path, "w") as fo:
+        fo.write("".join(parts))
+    return True
+
+
+def svg_matches(wh_a, wh_b, feats_a, feats_b, matches, path):
+    """Side-by-side match visualization (matching/svg_matches.cpp)."""
+    wa, ha = wh_a
+    wb, hb = wh_b
+    W = wa + wb
+    H = max(ha, hb)
+    parts = [f'<svg width="{W}" height="{H}" '
+             f'xmlns="http://www.w3.org/2000/svg">',
+             f'<rect width="{wa}" height="{ha}" fill="#222"/>',
+             f'<rect x="{wa}" width="{wb}" height="{hb}" fill="#333"/>']
+    for i, j in np.asarray(matches):
+        xa, ya = feats_a[i][:2]
+        xb, yb = feats_b[j][:2]
+        parts.append(f'<line x1="{xa:.1f}" y1="{ya:.1f}" '
+                     f'x2="{wa + xb:.1f}" y2="{yb:.1f}" '
+                     f'stroke="green" stroke-width="0.5"/>')
+    parts.append("</svg>")
+    with open(path, "w") as fo:
+        fo.write("".join(parts))
+    return True
