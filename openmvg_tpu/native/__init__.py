@@ -1,0 +1,87 @@
+"""ctypes loader for the native C++ runtime components.
+
+Builds openmvg_tpu/native/libomt_native.so on first use (g++, see
+Makefile); every entry point has a pure-python fallback, so the package
+works without a toolchain.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libomt_native.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.omt_connected_components.restype = i64
+    lib.omt_connected_components.argtypes = [p_i64, p_i64, i64, i64, p_i32]
+    lib.omt_build_tracks.restype = i64
+    lib.omt_build_tracks.argtypes = [p_i64, p_i64, i64, p_i32, p_i32, i64,
+                                     ctypes.c_int32, p_i32, p_i32, p_i32]
+    _lib = lib
+    return _lib
+
+
+def available():
+    return _load() is not None
+
+
+def connected_components(a, b, n_nodes):
+    """Component labels (int32, contiguous) for edges (a, b) over n_nodes."""
+    lib = _load()
+    a = np.ascontiguousarray(a, np.int64)
+    b = np.ascontiguousarray(b, np.int64)
+    if lib is None:
+        from scipy import sparse
+        from scipy.sparse import csgraph
+
+        g = sparse.coo_matrix((np.ones(len(a), np.int8), (a, b)),
+                              shape=(n_nodes, n_nodes))
+        _, labels = csgraph.connected_components(g, directed=False)
+        return labels.astype(np.int32)
+    out = np.empty(n_nodes, np.int32)
+    lib.omt_connected_components(a, b, len(a), n_nodes, out)
+    return out
+
+
+def build_tracks_native(edge_a, edge_b, node_view, node_feat, min_length=2):
+    """C++ track fusion; returns (track_id, view_id, feat_id) arrays or
+    None when the library is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    edge_a = np.ascontiguousarray(edge_a, np.int64)
+    edge_b = np.ascontiguousarray(edge_b, np.int64)
+    node_view = np.ascontiguousarray(node_view, np.int32)
+    node_feat = np.ascontiguousarray(node_feat, np.int32)
+    n = len(node_view)
+    out_t = np.empty(n, np.int32)
+    out_v = np.empty(n, np.int32)
+    out_f = np.empty(n, np.int32)
+    m = lib.omt_build_tracks(edge_a, edge_b, len(edge_a), node_view,
+                             node_feat, n, min_length, out_t, out_v, out_f)
+    if m < 0:
+        return None
+    return out_t[:m], out_v[:m], out_f[:m]

@@ -1,0 +1,175 @@
+// Native runtime components for openmvg_tpu.
+//
+// The reference's runtime (tracks/tracks.hpp union-find,
+// matching/indMatch_utils.cpp codecs, features/descriptor.hpp IO) is all
+// C++; these are the TPU framework's equivalents, exposed through a C ABI
+// and loaded via ctypes (openmvg_tpu/native/__init__.py), with pure-python
+// fallbacks when the shared library is unavailable.
+//
+// Build: make -C openmvg_tpu/native   (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// Union-find with path halving + union by size.
+struct UnionFind {
+  std::vector<int64_t> parent;
+  std::vector<int64_t> size;
+  explicit UnionFind(int64_t n) : parent(n), size(n, 1) {
+    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+  }
+  int64_t find(int64_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  }
+  void unite(int64_t a, int64_t b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return;
+    if (size[a] < size[b]) std::swap(a, b);
+    parent[b] = a;
+    size[a] += size[b];
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Connected components over n_nodes nodes given edges (a[i], b[i]).
+// labels_out[n_nodes]: contiguous component ids (0..n_comp-1).
+// Returns the number of components.
+int64_t omt_connected_components(const int64_t* a, const int64_t* b,
+                                 int64_t n_edges, int64_t n_nodes,
+                                 int32_t* labels_out) {
+  UnionFind uf(n_nodes);
+  for (int64_t e = 0; e < n_edges; ++e) uf.unite(a[e], b[e]);
+  std::unordered_map<int64_t, int32_t> remap;
+  remap.reserve(n_nodes);
+  int32_t next = 0;
+  for (int64_t i = 0; i < n_nodes; ++i) {
+    const int64_t r = uf.find(i);
+    auto it = remap.find(r);
+    if (it == remap.end()) {
+      remap.emplace(r, next);
+      labels_out[i] = next++;
+    } else {
+      labels_out[i] = it->second;
+    }
+  }
+  return next;
+}
+
+// Full track building over (view, feat) nodes:
+//   inputs: per-edge endpoint node indices (pre-compressed 0..n_nodes-1),
+//           per-node view id and feat id
+//   conflict filter: any track touching one view twice is dropped entirely
+//   min-length filter, contiguous renumbering, rows sorted by
+//   (track, view)
+// Outputs are written to caller-provided arrays of capacity n_nodes;
+// returns the number of emitted rows (<= n_nodes), or -1 on error.
+int64_t omt_build_tracks(const int64_t* edge_a, const int64_t* edge_b,
+                         int64_t n_edges, const int32_t* node_view,
+                         const int32_t* node_feat, int64_t n_nodes,
+                         int32_t min_length, int32_t* out_track,
+                         int32_t* out_view, int32_t* out_feat) {
+  UnionFind uf(n_nodes);
+  for (int64_t e = 0; e < n_edges; ++e) uf.unite(edge_a[e], edge_b[e]);
+
+  // order nodes by (root, view) to detect conflicts + group tracks
+  std::vector<int64_t> order(n_nodes);
+  for (int64_t i = 0; i < n_nodes; ++i) order[i] = i;
+  std::vector<int64_t> root(n_nodes);
+  for (int64_t i = 0; i < n_nodes; ++i) root[i] = uf.find(i);
+  std::sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+    if (root[x] != root[y]) return root[x] < root[y];
+    if (node_view[x] != node_view[y]) return node_view[x] < node_view[y];
+    return node_feat[x] < node_feat[y];
+  });
+
+  // single pass: mark conflicted/short tracks
+  std::vector<uint8_t> bad_root_flag(n_nodes, 0);
+  {
+    int64_t start = 0;
+    while (start < n_nodes) {
+      int64_t end = start;
+      bool conflict = false;
+      while (end < n_nodes && root[order[end]] == root[order[start]]) {
+        if (end > start &&
+            node_view[order[end]] == node_view[order[end - 1]])
+          conflict = true;
+        ++end;
+      }
+      if (conflict || (end - start) < min_length)
+        bad_root_flag[root[order[start]]] = 1;
+      start = end;
+    }
+  }
+
+  // emit
+  int64_t out = 0;
+  int32_t track_id = -1;
+  int64_t prev_root = -1;
+  for (int64_t k = 0; k < n_nodes; ++k) {
+    const int64_t node = order[k];
+    const int64_t r = root[node];
+    if (bad_root_flag[r]) continue;
+    if (r != prev_root) {
+      ++track_id;
+      prev_root = r;
+    }
+    out_track[out] = track_id;
+    out_view[out] = node_view[node];
+    out_feat[out] = node_feat[node];
+    ++out;
+  }
+  return out;
+}
+
+// matches.bin codec (PortableBinary layout, indMatch_utils.cpp):
+// [u8 endian][u64 n_pairs] { [u32 i][u32 j][u64 m][m x (u32,u32)] }
+// Parse: returns number of pairs, fills pair_ij (2 per pair) and
+// counts (1 per pair); the match payload pointers are offsets into `data`
+// recorded in offsets[] (byte offset of each pair's match block).
+int64_t omt_parse_matches_header(const uint8_t* data, int64_t size,
+                                 uint32_t* pair_ij, int64_t* counts,
+                                 int64_t* offsets, int64_t max_pairs) {
+  if (size < 9) return -1;
+  int64_t pos = 1;
+  uint64_t n_pairs;
+  std::memcpy(&n_pairs, data + pos, 8);
+  pos += 8;
+  if ((int64_t)n_pairs > max_pairs) return -1;
+  for (uint64_t p = 0; p < n_pairs; ++p) {
+    if (pos + 16 > size) return -1;
+    std::memcpy(&pair_ij[2 * p], data + pos, 8);
+    pos += 8;
+    uint64_t m;
+    std::memcpy(&m, data + pos, 8);
+    pos += 8;
+    counts[p] = (int64_t)m;
+    offsets[p] = pos;
+    pos += (int64_t)m * 8;
+    if (pos > size) return -1;
+  }
+  return (int64_t)n_pairs;
+}
+
+// .desc codec: [u64 count][count*dim bytes]
+int64_t omt_desc_count(const uint8_t* data, int64_t size) {
+  if (size < 8) return -1;
+  uint64_t n;
+  std::memcpy(&n, data, 8);
+  return (int64_t)n;
+}
+
+}  // extern "C"

@@ -68,11 +68,18 @@ def build_tracks(pairwise_matches: Dict[Tuple[int, int], np.ndarray],
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ia, ib = inv[: len(a)], inv[len(a):]
     n = len(nodes)
-    g = sparse.coo_matrix((np.ones(len(ia), np.int8), (ia, ib)), shape=(n, n))
-    _, labels = csgraph.connected_components(g, directed=False)
-
     view = (nodes // stride).astype(np.int32)
     feat = (nodes % stride).astype(np.int32)
+
+    # native C++ union-find fast path (openmvg_tpu/native)
+    from openmvg_tpu import native
+
+    nt = native.build_tracks_native(ia, ib, view, feat, min_length)
+    if nt is not None:
+        return Tracks(track_id=nt[0], view_id=nt[1], feat_id=nt[2])
+
+    g = sparse.coo_matrix((np.ones(len(ia), np.int8), (ia, ib)), shape=(n, n))
+    _, labels = csgraph.connected_components(g, directed=False)
 
     # conflict filter: track with duplicated view -> reject whole track
     order = np.lexsort((view, labels))
