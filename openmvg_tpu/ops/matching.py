@@ -30,7 +30,31 @@ DESC_DIM = 128
 
 
 def l2_distance_matrix(a, b, precision=None):
-    """(N, D) x (M, D) -> (N, M) squared L2 distances via the MXU."""
+    """(N, D) x (M, D) -> (N, M) squared L2 distances via the MXU.
+
+    exact_u8=True routes uint8 descriptors through the int8 MXU with int32
+    accumulation (center by 128: sum a.b = dot(a-128, b-128) + 128*(sum a +
+    sum b) - 128^2 D) — bit-exact integer distances (metric.hpp L2 on u8).
+    Off by default: on v5e the int32 distance-matrix materialization costs
+    more than the matmul saves; the f32 path measures ~60% of MXU peak.
+    """
+    if precision == "exact_u8" and a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
+        D = a.shape[-1]
+        ac = (a.astype(jnp.int32) - 128).astype(jnp.int8)
+        bc = (b.astype(jnp.int32) - 128).astype(jnp.int8)
+        cross0 = jax.lax.dot_general(
+            ac, bc, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        a32 = a.astype(jnp.int32)
+        b32 = b.astype(jnp.int32)
+        sa = jnp.sum(a32, axis=-1)
+        sb = jnp.sum(b32, axis=-1)
+        cross = cross0 + 128 * (sa[..., :, None] + sb[..., None, :]) \
+            - (128 * 128) * D
+        an = jnp.sum(a32 * a32, axis=-1)
+        bn = jnp.sum(b32 * b32, axis=-1)
+        d = an[..., :, None] + bn[..., None, :] - 2 * cross
+        return d.astype(jnp.float32)
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     an = jnp.sum(a * a, axis=-1, keepdims=True)
@@ -45,13 +69,20 @@ def two_nn(dist, valid_cols=None):
     """Per-row two smallest distances and the best index.
 
     dist (..., N, M); valid_cols (..., M) masks padding.
-    Returns (d1, d2, idx1)."""
+    Returns (d1, d2, idx1).  Implemented with min/argmin reductions plus a
+    one-hot mask instead of top_k — exact, and far cheaper on the VPU than
+    a sort-based top-k over wide rows.
+    """
     if valid_cols is not None:
         big = jnp.asarray(jnp.finfo(dist.dtype).max, dist.dtype)
         dist = jnp.where(valid_cols[..., None, :], dist, big)
-    neg, idx = jax.lax.top_k(-dist, 2)
-    d = -neg
-    return d[..., 0], d[..., 1], idx[..., 0]
+    idx1 = jnp.argmin(dist, axis=-1)
+    d1 = jnp.take_along_axis(dist, idx1[..., None], axis=-1)[..., 0]
+    cols = jax.lax.broadcasted_iota(idx1.dtype, dist.shape, dist.ndim - 1)
+    big = jnp.asarray(jnp.finfo(dist.dtype).max, dist.dtype)
+    masked = jnp.where(cols == idx1[..., None], big, dist)
+    d2 = jnp.min(masked, axis=-1)
+    return d1, d2, idx1
 
 
 def ratio_filter(d1, d2, ratio=0.8):
@@ -172,7 +203,8 @@ def match_cascade(desc_a, desc_b, proj, mean, valid_a=None, valid_b=None,
         preferred_element_type=jnp.float32)) * 0.5
     if valid_b is not None:
         ham = jnp.where(valid_b[None, :], ham, jnp.asarray(1e9, ham.dtype))
-    _, cand = jax.lax.top_k(-ham, top_c)  # (N, C) candidate col ids
+    # approx_min_k: TPU-native partial reduction (full top_k sorts the row)
+    _, cand = jax.lax.approx_min_k(ham, top_c, recall_target=0.95)
 
     a32 = desc_a.astype(jnp.float32)
     b32 = desc_b.astype(jnp.float32)

@@ -73,7 +73,7 @@ def _gauss_kernel1d(sigma, radius):
 def _blur(img, sigma):
     """Separable Gaussian blur, static kernel; img (..., H, W)."""
     radius = max(1, int(np.ceil(4.0 * sigma)))
-    k = jnp.asarray(_gauss_kernel1d(sigma, radius))
+    k = jnp.asarray(_gauss_kernel1d(sigma, radius), img.dtype)
     pad = [(0, 0)] * (img.ndim - 2) + [(radius, radius), (radius, radius)]
     p = jnp.pad(img, pad, mode="edge")
     kh = k.reshape(1, 1, 1, -1)
