@@ -233,6 +233,11 @@ def cmd_sfm(args):
 
         cfg = GlobalConfig(verbose=True, refine_intrinsics=refine)
         global_sfm(scene, feats, matches, cfg)
+    elif engine == "STELLAR":
+        from openmvg_tpu.sfm.pipeline_stellar import StellarConfig, stellar_sfm
+
+        cfg = StellarConfig(verbose=True, refine_intrinsics=refine)
+        stellar_sfm(scene, feats, matches, cfg)
     else:
         print(f"engine {engine} not available", file=sys.stderr)
         return 1
@@ -242,6 +247,10 @@ def cmd_sfm(args):
                   if args.output_format == "bin"
                   else os.path.join(args.output_dir, "sfm_data.json"))
     save_scene_ply(scene, os.path.join(args.output_dir, "cloud_and_poses.ply"))
+    from openmvg_tpu.utils.report import generate_sfm_report
+
+    generate_sfm_report(scene, os.path.join(args.output_dir,
+                                            "SfMReconstruction_Report.html"))
     print(f"SfM done in {time.time() - t0:.1f}s: "
           f"{int(scene.pose_valid.sum())} poses, {scene.n_landmarks} points, "
           f"rmse={rmse(scene):.3f}px")
@@ -277,6 +286,14 @@ def cmd_export(args):
         exporters.export_nvm(scene, args.output_file)
     elif fmt == "colmap":
         exporters.export_colmap(scene, args.output_file)
+    elif fmt == "baf":
+        exporters.export_baf(scene, args.output_file)
+    elif fmt == "bundler":
+        exporters.export_bundler(scene, args.output_file)
+    elif fmt == "pmvs":
+        exporters.export_pmvs(scene, args.output_file)
+    elif fmt == "mve":
+        exporters.export_mve(scene, args.output_file)
     else:
         print(f"unknown format {fmt}", file=sys.stderr)
         return 1
@@ -292,6 +309,113 @@ def cmd_eval(args):
     gt = load_strecha_gt(args.gt_dir)
     stats = evaluate_against_gt(scene, gt)
     print(json.dumps(stats, indent=2))
+    return 0
+
+
+def cmd_localize(args):
+    """main_SfM_Localization: localize query images in a reconstruction."""
+    import jax.numpy as jnp
+    from openmvg_tpu.io.image import read_image
+    from openmvg_tpu.models.cameras import K_matrix
+    from openmvg_tpu.sfm.describer import describe_image
+    from openmvg_tpu.sfm import localization as loc
+
+    scene = _load_scene(args.input_file)
+    feats, descs = _load_features_for_scene(scene, args.match_dir)
+    db = loc.build_landmark_database(scene, descs)
+    iid = int(scene.view_intrinsic[0])
+    K = np.asarray(K_matrix(jnp.asarray(
+        np.asarray(scene.cameras.params)[iid])))
+    w = float(scene.cameras.width[iid])
+    h = float(scene.cameras.height[iid])
+    for q in args.query_images:
+        img = read_image(q, grayscale=True)
+        qf, qd = describe_image(img)
+        res = loc.localize_image(db, qf, qd, K, w, h)
+        if res.found:
+            print(f"{q}: localized with {res.n_inliers} inliers, "
+                  f"C = {res.C.tolist()}")
+        else:
+            print(f"{q}: localization FAILED")
+    return 0
+
+
+def cmd_known_poses(args):
+    """main_ComputeStructureFromKnownPoses."""
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.sfm.known_poses import structure_from_known_poses
+    from openmvg_tpu.sfm.scene import rmse
+
+    scene = _load_scene(args.input_file)
+    feats, descs = _load_features_for_scene(scene, args.match_dir)
+    structure_from_known_poses(scene, feats, descs)
+    save_sfm_data(scene, args.output_file)
+    print(f"structure: {scene.n_landmarks} landmarks, rmse={rmse(scene):.3f}")
+    return 0
+
+
+def cmd_vlad(args):
+    """main_ComputeVLAD: retrieval-based pair list."""
+    import jax
+    import jax.numpy as jnp
+    from openmvg_tpu.ops import vlad
+
+    scene = _load_scene(args.input_file)
+    _, descs = _load_features_for_scene(scene, args.match_dir)
+    pooled = np.concatenate([d[:500] for d in descs if len(d)])
+    centers = vlad.build_codebook(jax.random.PRNGKey(0), pooled,
+                                  k=args.codebook_size)
+    vlads = np.stack([np.asarray(vlad.vlad_embedding(
+        jnp.asarray(d), jnp.asarray(centers))) for d in descs])
+    pairs = vlad.retrieve_pairs(vlads, top_k=args.top_k)
+    with open(args.output_file, "w") as f:
+        for i, j in pairs:
+            f.write(f"{i} {j}\n")
+    print(f"{len(pairs)} retrieval pairs")
+    return 0
+
+
+def cmd_cubify(args):
+    """main_openMVGSpherical2Cubic: equirect scene -> cubemap pinhole scene."""
+    from openmvg_tpu.io.image import read_image, write_image
+    from openmvg_tpu.ops.spherical import spherical_to_cubic
+
+    scene = _load_scene(args.input_file)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for v, name in enumerate(scene.view_filename):
+        pano = read_image(os.path.join(scene.root_path, name))
+        faces, rots, focal = spherical_to_cubic(pano)
+        stem = os.path.splitext(os.path.basename(name))[0]
+        for fidx in range(6):
+            write_image(os.path.join(args.output_dir,
+                                     f"{stem}_face{fidx}.png"),
+                        faces[fidx].astype(np.uint8))
+        print(f"{name}: 6 faces (focal={focal})")
+    return 0
+
+
+def cmd_cluster(args):
+    """main_ComputeClusters: split a reconstruction into sub-scenes."""
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.sfm.clustering import cluster_views, scene_for_views
+
+    scene = _load_scene(args.input_file)
+    clusters = cluster_views(scene, args.n_clusters)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for k, views in enumerate(clusters):
+        sub = scene_for_views(scene, views)
+        save_sfm_data(sub, os.path.join(args.output_dir,
+                                        f"sfm_data_cluster_{k}.json"))
+        print(f"cluster {k}: {len(views)} views")
+    return 0
+
+
+def cmd_report(args):
+    from openmvg_tpu.utils.report import generate_sfm_report
+
+    scene = _load_scene(args.input_file)
+    generate_sfm_report(scene, args.output_file)
+    print(f"report written to {args.output_file}")
     return 0
 
 
@@ -366,6 +490,42 @@ def main(argv=None):
     p.add_argument("-i", "--input_file", required=True)
     p.add_argument("-g", "--gt_dir", required=True)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("localize")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--match_dir", required=True)
+    p.add_argument("-q", "--query_images", nargs="+", required=True)
+    p.set_defaults(fn=cmd_localize)
+
+    p = sub.add_parser("known-poses")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--match_dir", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.set_defaults(fn=cmd_known_poses)
+
+    p = sub.add_parser("vlad")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--match_dir", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-k", "--codebook_size", type=int, default=64)
+    p.add_argument("-t", "--top_k", type=int, default=10)
+    p.set_defaults(fn=cmd_vlad)
+
+    p = sub.add_parser("cubify")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_dir", required=True)
+    p.set_defaults(fn=cmd_cubify)
+
+    p = sub.add_parser("cluster")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_dir", required=True)
+    p.add_argument("-n", "--n_clusters", type=int, default=2)
+    p.set_defaults(fn=cmd_cluster)
+
+    p = sub.add_parser("report")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.set_defaults(fn=cmd_report)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -132,3 +132,157 @@ def export_colmap(scene, outdir, colors=None):
             f.write(f"{l + 1} {X[0]} {X[1]} {X[2]} {int(c[0])} {int(c[1])} "
                     f"{int(c[2])} 0 " + " ".join(track) + "\n")
     return True
+
+
+def export_baf(scene, path):
+    """ASCII Bundle Adjustment File (sfm_data_io_baf.hpp Save_BAF):
+    header = #intrinsics #views #landmarks; intrinsic param rows; per-view
+    pose rows [R col-major, C] (identity for missing poses); landmark rows
+    [X #obs (id_intrinsic id_pose x y)*]; plus <path>_imgList.txt."""
+    from openmvg_tpu.models import cameras as cm
+
+    cams = scene.cameras
+    ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
+    obs_by_lm = {}
+    for idx in np.nonzero(ok)[0]:
+        obs_by_lm.setdefault(int(scene.obs_landmark[idx]), []).append(idx)
+    lms = [l for l in np.nonzero(scene.X_valid)[0]]
+    with open(path, "w") as f:
+        f.write(f"{scene.n_intrinsics}\n{scene.n_views}\n{len(lms)}\n")
+        for i in range(scene.n_intrinsics):
+            kind = int(np.asarray(cams.kind)[i])
+            n = cm.N_PARAMS[kind]
+            f.write(" ".join(str(float(v))
+                             for v in np.asarray(cams.params)[i, :n]) + " \n")
+        for v in range(scene.n_views):
+            pid = scene.view_pose[v]
+            if pid < 0 or not scene.pose_valid[pid]:
+                R = np.eye(3)
+                C = np.zeros(3)
+            else:
+                R = scene.pose_R[pid]
+                C = scene.pose_C[pid]
+            vals = list(R.T.reshape(-1)) + list(C)  # column major
+            f.write(" ".join(str(float(x)) for x in vals) + " \n")
+        for l in lms:
+            X = scene.X[l]
+            obs = obs_by_lm.get(int(l), [])
+            parts = [f"{X[0]} {X[1]} {X[2]}", str(len(obs))]
+            for idx in obs:
+                v = int(scene.obs_view[idx])
+                parts.append(f"{int(scene.view_intrinsic[v])} "
+                             f"{int(scene.view_pose[v])} "
+                             f"{scene.obs_x[idx, 0]} {scene.obs_x[idx, 1]}")
+            f.write(" ".join(parts) + "\n")
+    with open(path + "_imgList.txt", "w") as f:
+        for v in range(scene.n_views):
+            f.write(f"{scene.view_filename[v]} {int(scene.view_intrinsic[v])} "
+                    f"{int(scene.view_pose[v])}\n")
+    return True
+
+
+def export_bundler(scene, path, colors=None):
+    """Bundler .out format (export/main_openMVG2Bundler-style): header,
+    per-camera [f k1 k2 / R / t] (Bundler's -z convention), points."""
+    posed = [v for v in range(scene.n_views)
+             if scene.view_pose[v] >= 0 and scene.pose_valid[scene.view_pose[v]]]
+    slot = {v: i for i, v in enumerate(posed)}
+    ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
+    obs_by_lm = {}
+    for idx in np.nonzero(ok)[0]:
+        if int(scene.obs_view[idx]) in slot:
+            obs_by_lm.setdefault(int(scene.obs_landmark[idx]), []).append(idx)
+    lms = [l for l in np.nonzero(scene.X_valid)[0] if obs_by_lm.get(int(l))]
+    D = np.diag([1.0, -1.0, -1.0])  # openMVG cam -> bundler cam
+    if colors is None:
+        colors = np.full((len(scene.X), 3), 255, int)
+    with open(path, "w") as f:
+        f.write("# Bundle file v0.3\n")
+        f.write(f"{len(posed)} {len(lms)}\n")
+        for v in posed:
+            pid = scene.view_pose[v]
+            iid = scene.view_intrinsic[v]
+            focal = float(np.asarray(scene.cameras.params)[iid, 0])
+            R = D @ scene.pose_R[pid]
+            t = R @ (-scene.pose_C[pid])
+            f.write(f"{focal} 0 0\n")
+            for row in R:
+                f.write(f"{row[0]} {row[1]} {row[2]}\n")
+            f.write(f"{t[0]} {t[1]} {t[2]}\n")
+        for l in lms:
+            X = scene.X[l]
+            c = colors[l]
+            f.write(f"{X[0]} {X[1]} {X[2]}\n")
+            f.write(f"{int(c[0])} {int(c[1])} {int(c[2])}\n")
+            obs = obs_by_lm[int(l)]
+            parts = [str(len(obs))]
+            for idx in obs:
+                v = int(scene.obs_view[idx])
+                iid = scene.view_intrinsic[v]
+                pp = np.asarray(scene.cameras.params)[iid, 1:3]
+                x = scene.obs_x[idx] - pp
+                parts.append(f"{slot[v]} {int(scene.obs_feat[idx])} "
+                             f"{x[0]} {-x[1]}")
+            f.write(" ".join(parts) + "\n")
+    return True
+
+
+def export_pmvs(scene, outdir, image_provider=None):
+    """PMVS working directory (export/main_openMVG2PMVS.cpp):
+    txt/%08d.txt projection matrices, visualize/ images (if provider),
+    pmvs_options.txt."""
+    from openmvg_tpu.models.cameras import K_matrix
+    import jax.numpy as jnp
+
+    os.makedirs(os.path.join(outdir, "txt"), exist_ok=True)
+    os.makedirs(os.path.join(outdir, "visualize"), exist_ok=True)
+    os.makedirs(os.path.join(outdir, "models"), exist_ok=True)
+    posed = [v for v in range(scene.n_views)
+             if scene.view_pose[v] >= 0 and scene.pose_valid[scene.view_pose[v]]]
+    for i, v in enumerate(posed):
+        pid = scene.view_pose[v]
+        iid = scene.view_intrinsic[v]
+        K = np.asarray(K_matrix(jnp.asarray(
+            np.asarray(scene.cameras.params)[iid])))
+        R = scene.pose_R[pid]
+        t = -R @ scene.pose_C[pid]
+        P = K @ np.concatenate([R, t[:, None]], axis=1)
+        with open(os.path.join(outdir, "txt", f"{i:08d}.txt"), "w") as f:
+            f.write("CONTOUR\n")
+            for row in P:
+                f.write(f"{row[0]} {row[1]} {row[2]} {row[3]}\n")
+    with open(os.path.join(outdir, "pmvs_options.txt"), "w") as f:
+        f.write("level 1\ncsize 2\nthreshold 0.7\nwsize 7\nminImageNum 3\n"
+                f"CPU 8\nsetEdge 0\nuseBound 0\nuseVisData 0\nsequence -1\n"
+                f"timages -1 0 {len(posed)}\noimages 0\n")
+    return True
+
+
+def export_mve(scene, outdir):
+    """MVE scene directory (export/main_openMVG2MVE2.cpp): views/*.mve
+    folders with meta.ini camera parameters."""
+    views_dir = os.path.join(outdir, "views")
+    os.makedirs(views_dir, exist_ok=True)
+    posed = [v for v in range(scene.n_views)
+             if scene.view_pose[v] >= 0 and scene.pose_valid[scene.view_pose[v]]]
+    for i, v in enumerate(posed):
+        d = os.path.join(views_dir, f"view_{i:04d}.mve")
+        os.makedirs(d, exist_ok=True)
+        pid = scene.view_pose[v]
+        iid = scene.view_intrinsic[v]
+        p = np.asarray(scene.cameras.params)[iid]
+        w = float(scene.cameras.width[iid])
+        h = float(scene.cameras.height[iid])
+        R = scene.pose_R[pid]
+        t = -R @ scene.pose_C[pid]
+        flen = p[0] / max(w, h)  # MVE normalized focal
+        with open(os.path.join(d, "meta.ini"), "w") as f:
+            f.write("[camera]\n")
+            f.write(f"focal_length = {flen}\n")
+            f.write("pixel_aspect = 1\n")
+            f.write(f"principal_point = {p[1] / w} {p[2] / h}\n")
+            f.write("rotation = " + " ".join(str(x) for x in R.reshape(-1)) + "\n")
+            f.write("translation = " + " ".join(str(x) for x in t) + "\n")
+            f.write("[view]\n")
+            f.write(f"id = {i}\nname = {scene.view_filename[v]}\n")
+    return True
