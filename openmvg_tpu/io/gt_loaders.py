@@ -64,3 +64,101 @@ def write_strecha_camera(path, K, R, C, wh):
         + list(C) + [wh[0], wh[1]]
     with open(path, "w") as f:
         f.write(" ".join(str(v) for v in vals))
+
+
+def load_middlebury_gt(filename, default_wh=(640, 480)):
+    """Middlebury GT: one file, first line = image count, then per line
+    'name K(9) R(9) t(3)' (io_readGTMiddleBury.hpp; t is world->cam
+    translation)."""
+    tok = open(filename).read().split()
+    pos = 0
+    count = int(tok[pos]); pos += 1
+    names, Ks, Rs, Cs, whs = [], [], [], [], []
+    for _ in range(count):
+        name = tok[pos]; pos += 1
+        vals = np.array(tok[pos:pos + 21], float); pos += 21
+        K = vals[0:9].reshape(3, 3)
+        R = vals[9:18].reshape(3, 3)
+        t = vals[18:21]
+        names.append(name)
+        Ks.append(K)
+        Rs.append(R)
+        Cs.append(-R.T @ t)
+        whs.append(default_wh)
+    return _scene_from_krc(names, Ks, Rs, Cs, whs)
+
+
+def load_eth3d_gt(gt_dir):
+    """ETH3D GT: COLMAP-style cameras.txt (id model w h params) +
+    images.txt (id qw qx qy qz tx ty tz cam_id name) (io_readGTETH3D.hpp)."""
+    cams = {}
+    for line in open(os.path.join(gt_dir, "cameras.txt")):
+        if line.startswith("#") or not line.strip():
+            continue
+        p = line.split()
+        cid, model, w, h = int(p[0]), p[1], int(p[2]), int(p[3])
+        params = [float(x) for x in p[4:]]
+        if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+            K = np.array([[params[0], 0, params[1]],
+                          [0, params[0], params[2]], [0, 0, 1.0]])
+        else:  # PINHOLE / others: fx fy cx cy
+            K = np.array([[params[0], 0, params[2]],
+                          [0, params[1], params[3]], [0, 0, 1.0]])
+        cams[cid] = (K, (w, h))
+    names, Ks, Rs, Cs, whs = [], [], [], [], []
+    lines = [l for l in open(os.path.join(gt_dir, "images.txt"))
+             if not l.startswith("#") and l.strip()]
+    # images.txt alternates pose line / points2D line
+    for line in lines[0::2] if len(lines) > 1 and len(lines[1].split()) % 3 == 0 \
+            else lines:
+        p = line.split()
+        if len(p) < 10:
+            continue
+        qw, qx, qy, qz = map(float, p[1:5])
+        t = np.array([float(x) for x in p[5:8]])
+        cid = int(p[8])
+        name = p[9]
+        from openmvg_tpu.geometry.so3 import quat_to_rot
+        import jax.numpy as jnp
+
+        R = np.asarray(quat_to_rot(jnp.asarray([qw, qx, qy, qz])))
+        K, wh = cams[cid]
+        names.append(name)
+        Ks.append(K)
+        Rs.append(R)
+        Cs.append(-R.T @ t)
+        whs.append(wh)
+    return _scene_from_krc(names, Ks, Rs, Cs, whs)
+
+
+def load_kitti_gt(gt_dir, calib_file=None, default_wh=(1226, 370)):
+    """Kitti odometry GT: poses file with per-line 3x4 [R|C']... the
+    reference reads 12 values as cam->world [R|C] (io_readGTKitti.hpp) and
+    a calib.txt with P0..P3 projection matrices."""
+    pose_files = sorted(glob.glob(os.path.join(gt_dir, "*.txt")))
+    if calib_file is None:
+        cand = [f for f in pose_files if "calib" in os.path.basename(f)]
+        calib_file = cand[0] if cand else None
+        pose_files = [f for f in pose_files if f != calib_file]
+    K = np.array([[718.856, 0, 607.19], [0, 718.856, 185.216], [0, 0, 1.0]])
+    if calib_file:
+        for line in open(calib_file):
+            if line.startswith("P0"):
+                vals = np.array(line.split()[1:13], float).reshape(3, 4)
+                K = vals[:, :3]
+                break
+    names, Ks, Rs, Cs, whs = [], [], [], [], []
+    if pose_files:
+        for i, line in enumerate(open(pose_files[0])):
+            vals = np.array(line.split(), float)
+            if len(vals) != 12:
+                continue
+            M = vals.reshape(3, 4)  # cam->world [R | C]
+            R_cw = M[:, :3]
+            C = M[:, 3]
+            names.append(f"{i:06d}.png")
+            Ks.append(K)
+            Rs.append(R_cw.T)
+            Cs.append(C)
+            whs.append(default_wh)
+    return _scene_from_krc(names, Ks, Rs, Cs, whs)
