@@ -34,6 +34,10 @@ from openmvg_tpu.geometry.pose import pose_from_Rt
 
 @dataclasses.dataclass
 class IncrementalConfig:
+    # SfMSceneInitializer parity (SfmSceneInitializer.hpp:22 / main_SfM.cpp):
+    # AUTO_PAIR (scored search) | MAX_PAIR (most-matched pair) |
+    # EXISTING_POSES (seed from the scene's already-valid poses)
+    initializer: str = "AUTO_PAIR"
     initial_pair: Optional[Tuple[int, int]] = None
     ransac_samples: int = 1024
     resection_samples: int = 1024
@@ -203,37 +207,53 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
     # landmark slot per track (-1 = not reconstructed)
     landmark_of_track = np.full(tracks.n_tracks, -1, np.int64)
 
-    # ---- initial pair --------------------------------------------------
-    if cfg.initial_pair is not None:
-        init = _try_pair(scene, index, cfg, key, *cfg.initial_pair)
-        if init is None:
-            raise RuntimeError("configured initial pair failed")
-    else:
-        init = choose_initial_pair(scene, index, matches, cfg, key)
-        if init is None:
-            raise RuntimeError("no valid initial pair found")
-    va, vb = init["view_a"], init["view_b"]
-    _log(cfg, f"initial pair ({va},{vb}) inliers={init['n_inliers']} "
-              f"angle={init['med_angle']:.1f}")
-
-    # poses: a = identity; b = relative
-    pa, pb = scene.view_pose[va], scene.view_pose[vb]
-    scene.pose_valid[pa] = True
-    scene.pose_R[pa] = np.eye(3)
-    scene.pose_C[pa] = 0.0
-    scene.pose_valid[pb] = True
-    scene.pose_R[pb] = init["R"]
-    scene.pose_C[pb] = -init["R"].T @ init["t"]
-
-    # triangulate initial tracks (inliers of the pair)
-    init_tracks = init["track_ids"][init["inliers"]]
-    _reconstruct_tracks(scene, index, init_tracks, landmark_of_track, cfg)
-    _run_ba(scene, cfg)
-    while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+    # ---- initialization (SfMSceneInitializer dispatch) -----------------
+    if cfg.initializer.upper() == "EXISTING_POSES" and scene.pose_valid.any():
+        posed = {v for v in range(scene.n_views)
+                 if scene.view_pose[v] >= 0
+                 and scene.pose_valid[scene.view_pose[v]]}
+        cand = np.nonzero(np.bincount(
+            tracks.track_id[np.isin(tracks.view_id, list(posed))],
+            minlength=tracks.n_tracks) >= 2)[0]
+        _reconstruct_tracks(scene, index, cand, landmark_of_track, cfg)
         _run_ba(scene, cfg)
-    _log(cfg, f"init: {scene.n_landmarks} landmarks rmse={rmse(scene):.3f}")
+        _log(cfg, f"init from {len(posed)} existing poses: "
+                  f"{scene.n_landmarks} landmarks")
+    else:
+        if cfg.initial_pair is not None:
+            init = _try_pair(scene, index, cfg, key, *cfg.initial_pair)
+            if init is None:
+                raise RuntimeError("configured initial pair failed")
+        elif cfg.initializer.upper() == "MAX_PAIR":
+            best_pair = max(matches, key=lambda p: len(matches[p]))
+            init = _try_pair(scene, index, cfg, key, *best_pair)
+            if init is None:
+                raise RuntimeError("MAX_PAIR initialization failed")
+        else:  # AUTO_PAIR / STELLAR-style scored search
+            init = choose_initial_pair(scene, index, matches, cfg, key)
+            if init is None:
+                raise RuntimeError("no valid initial pair found")
+        va, vb = init["view_a"], init["view_b"]
+        _log(cfg, f"initial pair ({va},{vb}) inliers={init['n_inliers']} "
+                  f"angle={init['med_angle']:.1f}")
 
-    posed = {int(va), int(vb)}
+        # poses: a = identity; b = relative
+        pa, pb = scene.view_pose[va], scene.view_pose[vb]
+        scene.pose_valid[pa] = True
+        scene.pose_R[pa] = np.eye(3)
+        scene.pose_C[pa] = 0.0
+        scene.pose_valid[pb] = True
+        scene.pose_R[pb] = init["R"]
+        scene.pose_C[pb] = -init["R"].T @ init["t"]
+
+        # triangulate initial tracks (inliers of the pair)
+        init_tracks = init["track_ids"][init["inliers"]]
+        _reconstruct_tracks(scene, index, init_tracks, landmark_of_track, cfg)
+        _run_ba(scene, cfg)
+        while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+            _run_ba(scene, cfg)
+        _log(cfg, f"init: {scene.n_landmarks} landmarks rmse={rmse(scene):.3f}")
+        posed = {int(va), int(vb)}
     failed_rounds: Dict[int, int] = {}
 
     # ---- incremental loop ---------------------------------------------
