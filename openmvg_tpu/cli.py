@@ -528,7 +528,28 @@ def main(argv=None):
     p.set_defaults(fn=cmd_report)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    _enable_compilation_cache()
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+        return 1
+
+
+def _enable_compilation_cache():
+    """Persist jit executables across CLI invocations — first-compile cost
+    (SIFT ~minutes on small hosts) is paid once per shape, not per run."""
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "OPENMVG_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "openmvg_tpu_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
