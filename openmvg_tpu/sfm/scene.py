@@ -118,6 +118,34 @@ class Scene:
         return self
 
 
+def group_shared_intrinsics(scene: Scene):
+    """Merge identical intrinsics and remap views
+    (sfm_data_utils.cpp GroupSharedIntrinsics)."""
+    cams = scene.cameras
+    keys = {}
+    remap = np.zeros(scene.n_intrinsics, np.int32)
+    kept = []
+    for i in range(scene.n_intrinsics):
+        key = (int(cams.kind[i]), float(cams.width[i]), float(cams.height[i]),
+               tuple(np.round(np.asarray(cams.params)[i], 12)))
+        if key not in keys:
+            keys[key] = len(kept)
+            kept.append(i)
+        remap[i] = keys[key]
+    if len(kept) == scene.n_intrinsics:
+        return scene
+    from openmvg_tpu.models import cameras as cm
+
+    scene.cameras = cm.Cameras(
+        kind=np.asarray(cams.kind)[kept],
+        width=np.asarray(cams.width)[kept],
+        height=np.asarray(cams.height)[kept],
+        params=np.asarray(cams.params)[kept])
+    ok = scene.view_intrinsic >= 0
+    scene.view_intrinsic[ok] = remap[scene.view_intrinsic[ok]]
+    return scene
+
+
 def reprojection_residuals(scene: Scene):
     """All-valid-observation residuals (host convenience, numpy).
 
