@@ -294,6 +294,20 @@ def cmd_export(args):
         exporters.export_pmvs(scene, args.output_file)
     elif fmt == "mve":
         exporters.export_mve(scene, args.output_file)
+    elif fmt == "openmvs":
+        exporters.export_openmvs(scene, args.output_file)
+    elif fmt == "agisoft":
+        exporters.export_agisoft(scene, args.output_file)
+    elif fmt == "meshlab":
+        exporters.export_meshlab(scene, args.output_file)
+    elif fmt == "mvstexturing":
+        exporters.export_mvstexturing(scene, args.output_file)
+    elif fmt == "cmpmvs":
+        exporters.export_cmpmvs(scene, args.output_file)
+    elif fmt == "frustums":
+        exporters.export_frustums_ply(scene, args.output_file)
+    elif fmt == "undistorted":
+        exporters.export_undistorted_images(scene, args.output_file)
     else:
         print(f"unknown format {fmt}", file=sys.stderr)
         return 1

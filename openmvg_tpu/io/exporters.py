@@ -286,3 +286,381 @@ def export_mve(scene, outdir):
             f.write("[view]\n")
             f.write(f"id = {i}\nname = {scene.view_filename[v]}\n")
     return True
+
+
+# ---------------------------------------------------------------------------
+# openMVS interface (.mvs), Agisoft, Meshlab, MVSTexturing, CMPMVS, frustums
+# ---------------------------------------------------------------------------
+
+def _posed_views(scene):
+    return [v for v in range(scene.n_views)
+            if scene.view_pose[v] >= 0 and scene.pose_valid[scene.view_pose[v]]]
+
+
+def _K_of(scene, iid):
+    p = np.asarray(scene.cameras.params)[iid]
+    return np.array([[p[0], 0.0, p[1]], [0.0, p[0], p[2]], [0.0, 0.0, 1.0]])
+
+
+def export_openmvs(scene, path, images_dir="undistorted_images", colors=None):
+    """OpenMVS MVSI binary scene (export/main_openMVG2openMVS.cpp:60-302,
+    serialization layout per export/InterfaceMVS.h:370-733, stream version 6).
+
+    One platform per pinhole intrinsic with an identity camera sub-pose; one
+    platform pose per posed view; landmarks become vertices with >=2 views.
+    Image `name` fields point into `images_dir` (written by
+    `export_undistorted_images`).
+    """
+    import struct
+
+    buf = bytearray()
+
+    def w_u32(v):
+        buf.extend(struct.pack("<I", int(v)))
+
+    def w_u64(v):
+        buf.extend(struct.pack("<Q", int(v)))
+
+    def w_str(s):
+        b = s.encode()
+        w_u64(len(b))
+        buf.extend(b)
+
+    def w_d(*vals):
+        buf.extend(struct.pack("<%dd" % len(vals), *[float(v) for v in vals]))
+
+    def w_f(*vals):
+        buf.extend(struct.pack("<%df" % len(vals), *[float(v) for v in vals]))
+
+    buf.extend(b"MVSI")
+    w_u32(6)   # MVSI_PROJECT_VER
+    w_u32(0)   # reserved
+
+    posed = _posed_views(scene)
+    # platforms: one per intrinsic used by a posed view (contiguous remap)
+    used_intr = sorted({int(scene.view_intrinsic[v]) for v in posed})
+    plat_of_intr = {iid: i for i, iid in enumerate(used_intr)}
+    plat_poses = {iid: [] for iid in used_intr}   # list of (R, C)
+    images = []                                   # (name, platformID, poseID, ID)
+    view_slot = {}
+    for v in posed:
+        iid = int(scene.view_intrinsic[v])
+        pid = int(scene.view_pose[v])
+        pose_id = len(plat_poses[iid])
+        plat_poses[iid].append((scene.pose_R[pid], scene.pose_C[pid]))
+        view_slot[v] = len(images)
+        name = os.path.join(images_dir, os.path.basename(scene.view_filename[v]))
+        images.append((name, plat_of_intr[iid], pose_id, view_slot[v]))
+
+    w_u64(len(used_intr))                 # platforms
+    for iid in used_intr:
+        w_str(f"platform_{iid}")          # Platform.name
+        w_u64(1)                          # one camera
+        w_str("")                         # Camera.name
+        w_str("")                         # Camera.bandName (ver>3)
+        w_u32(int(scene.cameras.width[iid]))
+        w_u32(int(scene.cameras.height[iid]))
+        w_d(*_K_of(scene, iid).reshape(-1))      # K row-major
+        w_d(*np.eye(3).reshape(-1))              # R sub-pose
+        w_d(0, 0, 0)                             # C sub-pose
+        w_u64(len(plat_poses[iid]))
+        for R, C in plat_poses[iid]:
+            w_d(*np.asarray(R).reshape(-1))
+            w_d(*np.asarray(C).reshape(-1))
+
+    w_u64(len(images))                    # images
+    for name, plat, pose_id, gid in images:
+        w_str(name)
+        w_str("")                         # maskName (ver>4)
+        w_u32(plat)                       # platformID
+        w_u32(0)                          # cameraID
+        w_u32(pose_id)                    # poseID
+        w_u32(gid)                        # ID (ver>2)
+
+    # vertices: landmarks with >=2 posed observations
+    ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
+    by_lm = {}
+    for idx in np.nonzero(ok)[0]:
+        v = int(scene.obs_view[idx])
+        if v in view_slot:
+            by_lm.setdefault(int(scene.obs_landmark[idx]), []).append(view_slot[v])
+    verts = [(l, sorted(set(vs))) for l, vs in sorted(by_lm.items())
+             if len(set(vs)) >= 2]
+    w_u64(len(verts))
+    for l, vs in verts:
+        w_f(*scene.X[l])
+        w_u64(len(vs))
+        for s in vs:
+            w_u32(s)
+            w_f(0.0)                      # confidence
+    w_u64(0)                              # verticesNormal
+    if colors is not None:
+        w_u64(len(verts))
+        for l, _ in verts:
+            c = np.asarray(colors[l], np.uint8)
+            buf.extend(bytes([int(c[2]), int(c[1]), int(c[0])]))  # BGR Col3
+    else:
+        w_u64(0)                          # verticesColor
+    w_u64(0)                              # lines (ver>0)
+    w_u64(0)                              # linesNormal
+    w_u64(0)                              # linesColor
+    w_d(*np.eye(4).reshape(-1))           # transform (ver>1)
+    w_d(*np.eye(3).reshape(-1))           # obb.rot (ver>5)
+    w_d(0, 0, 0)                          # obb.ptMin
+    w_d(0, 0, 0)                          # obb.ptMax
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    return True
+
+
+def export_agisoft(scene, outdir):
+    """Agisoft PhotoScan/Metashape cameras.xml
+    (export/main_openMVG2Agisoft.cpp:75-180)."""
+    os.makedirs(outdir, exist_ok=True)
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<document version="1.3.0">', "<chunk>", "<sensors>"]
+    prm = np.asarray(scene.cameras.params)
+    kinds = np.asarray(scene.cameras.kind)
+    for i in range(scene.n_intrinsics):
+        w, h = int(scene.cameras.width[i]), int(scene.cameras.height[i])
+        p = prm[i]
+        lines += [
+            f'<sensor id="{i}" label="sensor_{i}" type="frame">',
+            f'<resolution width="{w}" height="{h}"/>',
+            '<property name="fixed" value="false"/>',
+            '<calibration type="frame" class="adjusted">',
+            f'<resolution width="{w}" height="{h}"/>',
+            f"<fx>{p[0]!r}</fx>", f"<fy>{p[0]!r}</fy>",
+            f"<cx>{p[1]!r}</cx>", f"<cy>{p[2]!r}</cy>"]
+        k = int(kinds[i])
+        if k == 2:      # radial k1
+            lines.append(f"<k1>{p[3]!r}</k1>")
+        elif k == 3:    # radial k3
+            lines += [f"<k1>{p[3]!r}</k1>", f"<k2>{p[4]!r}</k2>",
+                      f"<k3>{p[5]!r}</k3>"]
+        elif k == 4:    # brown t2: k1 k2 p1 p2 then k3 (reference order)
+            lines += [f"<k1>{p[3]!r}</k1>", f"<k2>{p[4]!r}</k2>",
+                      f"<p1>{p[6]!r}</p1>", f"<p2>{p[7]!r}</p2>",
+                      f"<k3>{p[5]!r}</k3>"]
+        lines += ["</calibration>", "</sensor>"]
+    lines.append("</sensors>")
+    lines.append("<cameras>")
+    for v in _posed_views(scene):
+        pid = scene.view_pose[v]
+        R, C = scene.pose_R[pid], scene.pose_C[pid]
+        # pose.inverse().asMatrix() = [R^T | C] (cam->world)
+        M = np.concatenate([R.T, C[:, None]], axis=1)
+        label = os.path.splitext(os.path.basename(scene.view_filename[v]))[0]
+        flat = " ".join(str(x) for x in M.reshape(-1))
+        lines += [f'<camera id="{v}" label="{label}" '
+                  f'sensor_id="{int(scene.view_intrinsic[v])}" enabled="1">',
+                  f"<transform>{flat} 0.0 0.0 0.0 1.0</transform>",
+                  "</camera>"]
+    lines += ["</cameras>",
+              "<region>", "<center>0 0 0 </center>", "<size>100 100 100 </size>",
+              "<R>1 0 0 0 1 0 0 0 1 </R>", "</region>",
+              "<settings>",
+              '<property name="accuracy_tiepoints" value="1"/>',
+              '<property name="accuracy_cameras" value="10" />',
+              '<property name="accuracy_cameras_ypr" value="2" />',
+              '<property name="accuracy_markers" value="0.005" />',
+              '<property name="accuracy_scalebars" value="0.001" />',
+              '<property name="accuracy_projections" value="0.1" />',
+              "</settings>", "</chunk>", "</document>"]
+    with open(os.path.join(outdir, "cameras.xml"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return True
+
+
+def export_meshlab(scene, outdir, ply_path="scene.ply"):
+    """MeshLab project .mlp with rasters per posed view
+    (export/main_openMVG2MESHLAB.cpp:68-135)."""
+    os.makedirs(outdir, exist_ok=True)
+    out = ["<!DOCTYPE MeshLabDocument>", "<MeshLabProject>", " <MeshGroup>",
+           f'  <MLMesh label="{ply_path}" filename="{ply_path}">',
+           "   <MLMatrix44>", "1 0 0 0 ", "0 1 0 0 ", "0 0 1 0 ", "0 0 0 1 ",
+           "</MLMatrix44>", "  </MLMesh>", " </MeshGroup>", " <RasterGroup>"]
+    for v in _posed_views(scene):
+        pid = scene.view_pose[v]
+        iid = int(scene.view_intrinsic[v])
+        K = _K_of(scene, iid)
+        R0, C = scene.pose_R[pid], scene.pose_C[pid]
+        t0 = -R0 @ C
+        # reference negates P rows 1..2 then re-decomposes; equivalent to
+        # flipping the y/z rows of R and t (Meshlab's camera convention)
+        S = np.diag([1.0, -1.0, -1.0])
+        R = S @ R0
+        t = S @ t0
+        optical_center = R.T @ t
+        w, h = int(scene.cameras.width[iid]), int(scene.cameras.height[iid])
+        name = os.path.basename(scene.view_filename[v])
+        src = os.path.join(scene.root_path, scene.view_filename[v])
+        rot = " ".join(
+            f"{R[i, 0]} {R[i, 1]} {R[i, 2]} 0 " for i in range(3))
+        out += [f'  <MLRaster label="{name}">',
+                f'   <VCGCamera TranslationVector="{optical_center[0]} '
+                f'{optical_center[1]} {optical_center[2]}  1 "'
+                f' LensDistortion="0 0"'
+                f' ViewportPx="{w} {h}"'
+                f' PixelSizeMm="1 1"'
+                f' CenterPx="{w / 2.0} {h / 2.0}"'
+                f' FocalMm="{K[0, 0]}"'
+                f' RotationMatrix="{rot}0 0 0 1 "/>',
+                f'   <Plane semantic="" fileName="{src}"/> ',
+                "  </MLRaster>"]
+    out += ["   </RasterGroup>", "</MeshLabProject>"]
+    with open(os.path.join(outdir, "sceneMeshlab.mlp"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    return True
+
+
+def export_mvstexturing(scene, outdir):
+    """MVS Texturing per-view .cam files
+    (export/main_openMVG2MVSTEXTURING.cpp:60-110): world->cam t and R on the
+    first line, then `f/max(w,h) 0 0 1 ppx/w ppy/h`."""
+    os.makedirs(outdir, exist_ok=True)
+    for v in _posed_views(scene):
+        pid = scene.view_pose[v]
+        iid = int(scene.view_intrinsic[v])
+        p = np.asarray(scene.cameras.params)[iid]
+        w, h = int(scene.cameras.width[iid]), int(scene.cameras.height[iid])
+        R = scene.pose_R[pid]
+        t = -R @ scene.pose_C[pid]
+        base = os.path.splitext(os.path.basename(scene.view_filename[v]))[0]
+        with open(os.path.join(outdir, base + ".cam"), "w") as f:
+            f.write(f"{t[0]} {t[1]} {t[2]} "
+                    + " ".join(str(x) for x in R.reshape(-1)) + "\n")
+            f.write(f"{p[0] / max(w, h)} 0 0 1 {p[1] / w} {p[2] / h}")
+    return True
+
+
+def export_cmpmvs(scene, outdir):
+    """CMPMVS input (export/main_openMVG2CMPMVS.cpp:60-200): per-view
+    `%05d_P.txt` projective matrices plus the two run .ini scripts.  Image
+    conversion to jpg is done by `export_undistorted_images` separately."""
+    os.makedirs(outdir, exist_ok=True)
+    posed = _posed_views(scene)
+    wh = None
+    for i, v in enumerate(posed):
+        pid = scene.view_pose[v]
+        iid = int(scene.view_intrinsic[v])
+        K = _K_of(scene, iid)
+        R, C = scene.pose_R[pid], scene.pose_C[pid]
+        P = K @ np.concatenate([R, (-R @ C)[:, None]], axis=1)
+        wh = (int(scene.cameras.width[iid]), int(scene.cameras.height[iid]))
+        with open(os.path.join(outdir, f"{i:05d}_P.txt"), "w") as f:
+            f.write("CONTOUR\n")
+            for row in P:
+                f.write(f"{row[0]} {row[1]} {row[2]} {row[3]}\n")
+    if wh is None:
+        return False
+    common = (f'[global]\ndirName="{outdir}/"\nprefix=""\nimgExt="jpg"\n'
+              f"ncams={len(posed)}\nwidth={wh[0]}\nheight={wh[1]}\nscale=2\n"
+              f'workDirName="_tmp_fast"\n')
+    with open(os.path.join(outdir, "01_mvs_firstRun.ini"), "w") as f:
+        f.write(common + "doPrepareData=TRUE\ndoPrematchSifts=TRUE\n"
+                "doPlaneSweepingSGM=TRUE\ndoFuse=TRUE\nnTimesSimplify=10\n\n"
+                "[prematching]\nminAngle=3.0\n\n"
+                "[grow]\nminNumOfConsistentCams=6\n\n"
+                "[filter]\nminNumOfConsistentCams=2\n\n")
+    with open(os.path.join(outdir, "02_mvs_limitedScale.ini"), "w") as f:
+        f.write(common + "doPrepareData=FALSE\ndoPrematchSifts=FALSE\n"
+                "doPlaneSweepingSGM=FALSE\ndoFuse=FALSE\n\n"
+                "[uvatlas]\ntexSide=1024\nscale=1\n\n"
+                "[delanuaycut]\nsaveMeshTextured=FALSE\n\n"
+                "[hallucinationsFiltering]\nuseSkyPrior=FALSE\n")
+    return True
+
+
+def export_frustums_ply(scene, path, z_near=-1.0, z_far=-1.0, colorize=False):
+    """Camera frustums as a triangle-mesh PLY
+    (export/main_ExportCameraFrustums.cpp + sfm_data_filters_frustum.cpp):
+    per-view depth range from the structure when z_near/z_far < 0, unit
+    pyramids when the scene has no structure."""
+    from openmvg_tpu.geometry.frustum import frustum_corners
+
+    posed = _posed_views(scene)
+    have_structure = scene.n_landmarks > 0 and scene.n_observations > 0
+    verts, faces, vcols = [], [], []
+    rng = np.random.default_rng(0)
+    for v in posed:
+        pid = scene.view_pose[v]
+        iid = int(scene.view_intrinsic[v])
+        K = _K_of(scene, iid)
+        R, C = scene.pose_R[pid], scene.pose_C[pid]
+        w, h = int(scene.cameras.width[iid]), int(scene.cameras.height[iid])
+        zn, zf = z_near, z_far
+        if (zn < 0 or zf < 0) and have_structure:
+            sel = (scene.obs_valid & (scene.obs_view == v)
+                   & scene.X_valid[scene.obs_landmark])
+            if sel.any():
+                Xc = (R @ (scene.X[scene.obs_landmark[sel]] - C).T).T
+                depths = Xc[:, 2][Xc[:, 2] > 0]
+                if len(depths):
+                    zf = float(np.max(depths)) if zf < 0 else zf
+                    zn = max(1e-3 * zf, float(np.min(depths))) if zn < 0 else zn
+        if zn < 0 or zf < 0:
+            zn, zf = 0.01, 1.0   # unit cone fallback
+        far = np.asarray(frustum_corners(K, R, C, w, h, zn, zf))[4:]
+        base = len(verts)
+        verts.append(C)
+        verts.extend(far)
+        col = (rng.integers(64, 255, 3).tolist() if colorize else [255, 255, 255])
+        for _ in range(5):
+            vcols.append(col)
+        for a, b in ((0, 1), (1, 2), (2, 3), (3, 0)):
+            faces.append((base, base + 1 + a, base + 1 + b))
+        faces.append((base + 1, base + 2, base + 3))
+        faces.append((base + 1, base + 3, base + 4))
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property double x\nproperty double y\nproperty double z\n")
+        if colorize:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write(f"element face {len(faces)}\n"
+                "property list uchar int vertex_index\nend_header\n")
+        for i, p in enumerate(verts):
+            line = f"{p[0]} {p[1]} {p[2]}"
+            if colorize:
+                c = vcols[i]
+                line += f" {c[0]} {c[1]} {c[2]}"
+            f.write(line + "\n")
+        for a, b, c in faces:
+            f.write(f"3 {a} {b} {c}\n")
+    return True
+
+
+def export_undistorted_images(scene, outdir, image_loader=None, writer=None):
+    """Write per-view undistorted images (export/main_ExportUndistortedImages.cpp,
+    and the undistortion step of main_openMVG2openMVS.cpp:138-233).  Views
+    whose camera has no distortion are copied unchanged."""
+    import shutil
+
+    from openmvg_tpu.models import cameras as cm
+    from openmvg_tpu.ops.image_ops import undistort_image
+
+    if image_loader is None:
+        from openmvg_tpu.io.image import read_image as image_loader
+    if writer is None:
+        from openmvg_tpu.io.image import write_image as writer
+    os.makedirs(outdir, exist_ok=True)
+    prm = np.asarray(scene.cameras.params)
+    kinds = np.asarray(scene.cameras.kind)
+    for v in range(scene.n_views):
+        src = os.path.join(scene.root_path, scene.view_filename[v])
+        dst = os.path.join(outdir, os.path.basename(scene.view_filename[v]))
+        if not os.path.exists(src):
+            continue
+        iid = int(scene.view_intrinsic[v])
+        has_disto = int(kinds[iid]) not in (cm.PINHOLE,) and np.any(prm[iid, 3:] != 0)
+        if not has_disto:
+            shutil.copyfile(src, dst)
+            continue
+        img = np.asarray(image_loader(src), dtype=np.float32)
+        out = undistort_image(img, int(kinds[iid]), prm[iid],
+                              float(scene.cameras.width[iid]),
+                              float(scene.cameras.height[iid]))
+        writer(dst, np.asarray(out))
+    return True

@@ -162,3 +162,85 @@ def load_kitti_gt(gt_dir, calib_file=None, default_wh=(1226, 370)):
             Cs.append(C)
             whs.append(default_wh)
     return _scene_from_krc(names, Ks, Rs, Cs, whs)
+
+
+def load_dtu_gt(gt_dir, image_dir=None, default_wh=(1600, 1200)):
+    """DTU MVS GT (io_readGTDTUMVS.hpp): per-view text file holding a 3x4
+    projective matrix P; file name carries a 3-digit index at chars [4:7]
+    that matches the image name chars [5:8]."""
+    from openmvg_tpu.ops.resection import krt_from_P
+
+    files = sorted(f for f in os.listdir(gt_dir)
+                   if os.path.isfile(os.path.join(gt_dir, f)))
+    image_files = (sorted(os.listdir(image_dir))
+                   if image_dir and os.path.isdir(image_dir) else [])
+    names, Ks, Rs, Cs, whs = [], [], [], [], []
+    for fn in files:
+        vals = np.array(open(os.path.join(gt_dir, fn)).read().split(), float)
+        if len(vals) != 12:
+            continue
+        P = vals.reshape(3, 4)
+        K, R, t = (np.asarray(a) for a in krt_from_P(P))
+        K = K / K[2, 2]
+        index = os.path.splitext(fn)[0][4:7]
+        name = next((im for im in image_files if im[5:8] == index), None)
+        names.append(name if name is not None else f"image{index}.png")
+        Ks.append(K)
+        Rs.append(R)
+        Cs.append(-R.T @ t)
+        whs.append(default_wh)
+    return _scene_from_krc(names, Ks, Rs, Cs, whs)
+
+
+def load_blendedmvs_gt(gt_dir, default_wh=(768, 576)):
+    """BlendedMVS GT (io_readGTBlendedMVS.hpp): per-view `*_cam.txt` with an
+    'extrinsic' 4x4 [R|t] block then an 'intrinsic' 3x3 K block; the image is
+    `<first 8 chars>.jpg`."""
+    files = sorted(glob.glob(os.path.join(gt_dir, "*_cam.txt")))
+    names, Ks, Rs, Cs, whs = [], [], [], [], []
+    for fn in files:
+        lines = open(fn).read().splitlines()
+        try:
+            ei = lines.index("extrinsic")
+            vals = np.array(" ".join(lines[ei + 1:ei + 5]).split()[:16], float)
+            ki = lines.index("intrinsic")
+            kv = np.array(" ".join(lines[ki + 1:ki + 4]).split()[:9], float)
+        except ValueError:
+            continue
+        E = vals.reshape(4, 4)
+        R, t = E[:3, :3], E[:3, 3]
+        names.append(os.path.basename(fn)[:8] + ".jpg")
+        Ks.append(kv.reshape(3, 3))
+        Rs.append(R)
+        Cs.append(-R.T @ t)
+        whs.append(default_wh)
+    return _scene_from_krc(names, Ks, Rs, Cs, whs)
+
+
+def load_multiface_gt(gt_dir, image_names=None, default_wh=(1334, 2048)):
+    """Multiface GT (io_readGTMultiface.hpp): one `KRT` file with 9-line
+    records: name, K rows (3), a pad line, then [R|t] rows (3), blank."""
+    path = os.path.join(gt_dir, "KRT")
+    lines = open(path).read().splitlines()
+    names, Ks, Rs, Cs, whs = [], [], [], [], []
+    for base in range(0, len(lines) - 7, 9):
+        rec = lines[base:base + 9]
+        name = rec[0].strip()
+        if not name:
+            break
+        K = np.array(" ".join(rec[1:4]).split(), float)[:9].reshape(3, 3)
+        Rt = np.array(" ".join(rec[5:8]).split(), float)[:12].reshape(3, 4)
+        R, t = Rt[:, :3], Rt[:, 3]
+        names.append(name + ".png")
+        Ks.append(K)
+        Rs.append(R)
+        Cs.append(-R.T @ t)
+        whs.append(default_wh)
+    scene = _scene_from_krc(names, Ks, Rs, Cs, whs)
+    if image_names is not None:   # keep only views with an existing image
+        keep = [i for i, n in enumerate(scene.view_filename) if n in image_names]
+        scene.view_filename = [scene.view_filename[i] for i in keep]
+        scene.view_intrinsic = scene.view_intrinsic[keep]
+        scene.view_pose = scene.view_pose[keep]
+        scene.view_wh = scene.view_wh[keep]
+    return scene

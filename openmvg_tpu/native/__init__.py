@@ -40,6 +40,11 @@ def _load():
     lib.omt_build_tracks.restype = i64
     lib.omt_build_tracks.argtypes = [p_i64, p_i64, i64, p_i32, p_i32, i64,
                                      ctypes.c_int32, p_i32, p_i32, p_i32]
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.omt_tbmr.restype = i64
+    lib.omt_tbmr.argtypes = [p_u8, i64, i64, ctypes.c_int32, i64,
+                             ctypes.c_double, p_f64, i64]
     _lib = lib
     return _lib
 
@@ -85,3 +90,19 @@ def build_tracks_native(edge_a, edge_b, node_view, node_feat, min_length=2):
     if m < 0:
         return None
     return out_t[:m], out_v[:m], out_f[:m]
+
+
+def tbmr_native(img_u8, invert, min_size, max_rel_size, max_out=8192):
+    """Native TBMR extraction; returns (N, 6) rows (x, y, a, b, c, area)
+    or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    img_u8 = np.ascontiguousarray(img_u8, np.uint8)
+    h, w = img_u8.shape
+    out = np.empty((max_out, 6), np.float64)
+    m = lib.omt_tbmr(img_u8.ravel(), w, h, 1 if invert else 0,
+                     int(min_size), float(max_rel_size), out.ravel(), max_out)
+    if m < 0:
+        return None
+    return out[:m]

@@ -284,3 +284,100 @@ def relative_pose_from_essential(E, b1, b2, weights=None):
     tt = jnp.take_along_axis(t4, best[..., None, None], axis=-2).squeeze(-2)
     n_good = jnp.take_along_axis(score, best[..., None], axis=-1).squeeze(-1)
     return R, tt, n_good
+
+
+# ---------------------------------------------------------------------------
+# upright (gravity-aligned) 3-point and orthographic 3-point solvers
+# ---------------------------------------------------------------------------
+
+def solve_essential_upright_3pt(b1, b2):
+    """Upright-relative-pose 3-point solver
+    (solver_essential_three_point.cpp ThreePointUprightRelativePoseSolver:
+    action-matrix nullspace of (6,7) in the paper).  For cameras rotating
+    about the gravity (y) axis and translating in the horizontal plane, the
+    essential matrix has only 4 free entries E01, E10, E12, E21; the epipolar
+    constraints are linear in those, so 3 bearings give a 3x4 nullspace
+    problem solved by the smallest eigenvector of AᵀA.
+
+    b1, b2: (..., 3, 3) unit bearings.  Returns (..., 3, 3) E.
+    """
+    ax, ay, az = b1[..., 0], b1[..., 1], b1[..., 2]
+    bx, by, bz = b2[..., 0], b2[..., 1], b2[..., 2]
+    A = jnp.stack([ax * by, -az * by, -bx * ay, -bz * ay], axis=-1)  # (...,3,4)
+    n = nullspace(A)                                                 # (...,4)
+    zero = jnp.zeros_like(n[..., 0])
+    E = jnp.stack([
+        jnp.stack([zero, n[..., 2], zero], axis=-1),
+        jnp.stack([-n[..., 0], zero, n[..., 1]], axis=-1),
+        jnp.stack([zero, n[..., 3], zero], axis=-1),
+    ], axis=-2)
+    return E
+
+
+def solve_essential_ortho_3pt(x1, x2):
+    """Orthographic two-view 3-point solver (Magnus Oskarsson, JMIV 2017;
+    solver_essential_three_point.cpp ThreePointsRelativePose).  Closed form:
+    a quartic in d² reduced to a quadratic; two E candidates of the
+    orthographic form [[0,0,a],[0,0,b],[c,d,e]].
+
+    x1, x2: (..., 3, 2) image points.  Returns (..., 2, 3, 3) E candidates
+    and a (..., 2) validity mask (False when the discriminant is negative).
+    """
+    xd1 = x1[..., 1, :] - x1[..., 0, :]
+    yd1 = x1[..., 2, :] - x1[..., 0, :]
+    xd2 = x2[..., 1, :] - x2[..., 0, :]
+    yd2 = x2[..., 2, :] - x2[..., 0, :]
+    denom = xd1[..., 0] * yd1[..., 1] - xd1[..., 1] * yd1[..., 0]
+    safe = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+    aac = (xd1[..., 1] * yd2[..., 0] - xd2[..., 0] * yd1[..., 1]) / safe
+    aad = (xd1[..., 1] * yd2[..., 1] - xd2[..., 1] * yd1[..., 1]) / safe
+    bbc = (xd2[..., 0] * yd1[..., 0] - xd1[..., 0] * yd2[..., 0]) / safe
+    bbd = (xd2[..., 1] * yd1[..., 0] - xd1[..., 0] * yd2[..., 1]) / safe
+
+    aac_sq = aac * aac
+    dd_2 = -aac_sq + aad * aad - bbc * bbc + bbd * bbd
+    dd_1c = 2.0 * aac * aad + 2.0 * bbc * bbd
+    dd_0 = aac_sq + bbc * bbc - 1.0
+    d4_4 = dd_1c * dd_1c + dd_2 * dd_2
+    d4_2 = -dd_1c * dd_1c + 2.0 * dd_0 * dd_2
+    d4_0 = dd_0 * dd_0
+    disc = d4_2 * d4_2 - 4.0 * d4_4 * d4_0
+    ok_disc = disc >= 0
+    tmp = jnp.sqrt(jnp.maximum(disc, 0.0))
+
+    def build(root):
+        ratio = -root / jnp.where(d4_4 == 0, 1.0, d4_4) / 2.0
+        ok = ok_disc & (ratio >= 0) & (d4_4 != 0)
+        dsol = jnp.sqrt(jnp.maximum(ratio, 0.0))
+        den = 2.0 * aac * aad * dsol + 2.0 * bbc * bbd * dsol
+        csol = -(dd_2 * dsol * dsol + aac_sq + bbc * bbc - 1.0) / \
+            jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+        asol = aac * csol + aad * dsol
+        bsol = bbc * csol + bbd * dsol
+        esol = (-asol * x1[..., 0, 0] - bsol * x1[..., 0, 1]
+                - csol * x2[..., 0, 0] - dsol * x2[..., 0, 1])
+        zero = jnp.zeros_like(asol)
+        E = jnp.stack([
+            jnp.stack([zero, zero, asol], axis=-1),
+            jnp.stack([zero, zero, bsol], axis=-1),
+            jnp.stack([csol, dsol, esol], axis=-1),
+        ], axis=-2)
+        return E, ok
+
+    E_a, ok_a = build(d4_2 + tmp)
+    E_b, ok_b = build(d4_2 - tmp)
+    return (jnp.stack([E_a, E_b], axis=-3),
+            jnp.stack([ok_a, ok_b], axis=-1))
+
+
+def ortho_essential_error_sq(E, x1, x2):
+    """Algebraic epipolar error for orthographic E on 2D points.
+
+    Note the solver's convention is x1h^T E x2h = 0 (the reference builds
+    esol = -a·x1 - b·x1 - c·x2 - d·x2 with a,b in E's third column and c,d in
+    its third row — solver_essential_three_point.cpp:66-79)."""
+    ones = jnp.ones(x1.shape[:-1] + (1,), x1.dtype)
+    x1h = jnp.concatenate([x1, ones], axis=-1)
+    x2h = jnp.concatenate([x2, ones], axis=-1)
+    val = jnp.einsum("...ni,...ij,...nj->...n", x1h, E, x2h)
+    return val * val

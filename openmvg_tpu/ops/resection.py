@@ -162,3 +162,60 @@ def bearing_angular_error(R, t, bearings, X3d):
     Xc = Xc / jnp.maximum(jnp.linalg.norm(Xc, axis=-1, keepdims=True), _EPS)
     cos_t = jnp.clip(jnp.sum(Xc * bearings, -1), -1.0, 1.0)
     return jnp.arccos(cos_t) ** 2
+
+
+def solve_up2p(bearings, X3d):
+    """Upright 2-point absolute pose (solver_resection_up2p_kukelova.cpp,
+    a PoseLib port): with gravity-aligned cameras the rotation is about y,
+    parameterized by the half-angle tangent q; two points give a 4x4 linear
+    system whose elimination leaves a quadratic in q.
+
+    bearings: (..., 2, 3), X3d: (..., 2, 3).
+    Returns R (..., 2, 3, 3), t (..., 2, 3), valid (..., 2) — two candidate
+    poses (world->cam x = R X + t).
+    """
+    x0, x1 = bearings[..., 0, :], bearings[..., 1, :]
+    X0, X1 = X3d[..., 0, :], X3d[..., 1, :]
+    zero = jnp.zeros_like(x0[..., 0])
+
+    def rows(x, X):
+        r0 = jnp.stack([-x[..., 2], zero, x[..., 0],
+                        X[..., 0] * x[..., 2] - X[..., 2] * x[..., 0]], axis=-1)
+        r1 = jnp.stack([zero, -x[..., 2], x[..., 1],
+                        -X[..., 1] * x[..., 2] - X[..., 2] * x[..., 1]], axis=-1)
+        b0 = jnp.stack([-2 * X[..., 0] * x[..., 0] - 2 * X[..., 2] * x[..., 2],
+                        X[..., 2] * x[..., 0] - X[..., 0] * x[..., 2]], axis=-1)
+        b1 = jnp.stack([-2 * X[..., 0] * x[..., 1],
+                        X[..., 2] * x[..., 1] - X[..., 1] * x[..., 2]], axis=-1)
+        return r0, r1, b0, b1
+
+    a0, a1, c0, c1 = rows(x0, X0)
+    a2, a3, c2, c3 = rows(x1, X1)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)          # (..., 4, 4)
+    b = jnp.stack([c0, c1, c2, c3], axis=-2)          # (..., 4, 2)
+    sol = jnp.linalg.solve(A, b)                       # (..., 4, 2)
+
+    c2q = sol[..., 3, 0]
+    c3q = sol[..., 3, 1]
+    disc = c2q * c2q - 4.0 * c3q
+    valid = disc >= 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # stable quadratic roots (PoseLib solve_quadratic_real)
+    q0 = jnp.where(c2q > 0, 2 * c3q / (-c2q - sq), 2 * c3q / (-c2q + sq))
+    q1 = c3q / jnp.where(jnp.abs(q0) < 1e-30, 1.0, q0)
+    qs = jnp.stack([q0, q1], axis=-1)                  # (..., 2)
+
+    q2 = qs * qs
+    inv_norm = 1.0 / (1.0 + q2)
+    cq = (1.0 - q2) * inv_norm
+    sq_ = 2.0 * qs * inv_norm
+    one = jnp.ones_like(cq)
+    zero2 = jnp.zeros_like(cq)
+    R = jnp.stack([
+        jnp.stack([cq, zero2, sq_], axis=-1),
+        jnp.stack([zero2, one, zero2], axis=-1),
+        jnp.stack([-sq_, zero2, cq], axis=-1),
+    ], axis=-2)                                        # (..., 2, 3, 3)
+    t = -(sol[..., :3, 0][..., None, :] * qs[..., :, None]
+          + sol[..., :3, 1][..., None, :]) * inv_norm[..., :, None]
+    return R, t, valid[..., None] & jnp.ones_like(qs, bool)

@@ -101,3 +101,146 @@ def test_color_harmonization():
         corrected_q = gains[i] * np.quantile(samples[i], 0.5) + offsets[i]
         ref_q = np.quantile(samples[0], 0.5)
         assert abs(corrected_q - ref_q) < 0.01, (i, corrected_q, ref_q)
+
+
+def test_export_openmvs_binary_roundtrip(tmp_path):
+    """Parse back the MVSI stream written by export_openmvs and verify the
+    platform/image/vertex structure (layout per export/InterfaceMVS.h)."""
+    import struct
+
+    s, sc = _scene()
+    path = str(tmp_path / "scene.mvs")
+    assert exporters.export_openmvs(sc, path)
+    buf = open(path, "rb").read()
+    off = 0
+
+    def u32():
+        nonlocal off
+        v = struct.unpack_from("<I", buf, off)[0]
+        off += 4
+        return v
+
+    def u64():
+        nonlocal off
+        v = struct.unpack_from("<Q", buf, off)[0]
+        off += 8
+        return v
+
+    def dbl(n=1):
+        nonlocal off
+        v = struct.unpack_from("<%dd" % n, buf, off)
+        off += 8 * n
+        return np.array(v)
+
+    def flt(n=1):
+        nonlocal off
+        v = struct.unpack_from("<%df" % n, buf, off)
+        off += 4 * n
+        return np.array(v)
+
+    def rd_str():
+        n = u64()
+        nonlocal off
+        sv = buf[off:off + n].decode()
+        off += n
+        return sv
+
+    assert buf[:4] == b"MVSI"
+    off = 4
+    assert u32() == 6    # version
+    u32()                # reserved
+    n_plat = u64()
+    assert n_plat == 1   # ring scene shares one intrinsic
+    total_poses = 0
+    for _ in range(n_plat):
+        rd_str()                      # platform name
+        n_cam = u64()
+        assert n_cam == 1
+        rd_str(); rd_str()            # camera name, band
+        w, h = u32(), u32()
+        K = dbl(9).reshape(3, 3)
+        assert K[0, 0] > 0 and K[2, 2] == 1.0
+        assert w > 0 and h > 0
+        np.testing.assert_allclose(dbl(9).reshape(3, 3), np.eye(3))
+        dbl(3)
+        n_poses = u64()
+        total_poses += n_poses
+        for _ in range(n_poses):
+            R = dbl(9).reshape(3, 3)
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+            dbl(3)
+    assert total_poses == 6
+    n_img = u64()
+    assert n_img == 6
+    for i in range(n_img):
+        name = rd_str()
+        rd_str()
+        plat, cam_id, pose_id, gid = u32(), u32(), u32(), u32()
+        assert plat < n_plat and cam_id == 0 and gid == i
+        assert name
+    n_vert = u64()
+    assert n_vert == 40
+    for _ in range(n_vert):
+        flt(3)
+        nv = u64()
+        assert nv >= 2
+        for _ in range(nv):
+            assert u32() < n_img
+            flt(1)
+    assert u64() == 0      # normals
+    assert u64() == 0      # colors
+    assert u64() == 0      # lines
+    assert u64() == 0 and u64() == 0
+    np.testing.assert_allclose(dbl(16).reshape(4, 4), np.eye(4))
+    dbl(9); dbl(3); dbl(3)  # obb
+    assert off == len(buf)
+
+
+def test_export_agisoft_meshlab_mvstex_cmpmvs_frustums(tmp_path):
+    s, sc = _scene()
+    assert exporters.export_agisoft(sc, str(tmp_path / "agisoft"))
+    xml = open(str(tmp_path / "agisoft/cameras.xml")).read()
+    assert xml.count("<camera id=") == 6 and "<sensor id=" in xml
+
+    assert exporters.export_meshlab(sc, str(tmp_path / "meshlab"), "scene.ply")
+    mlp = open(str(tmp_path / "meshlab/sceneMeshlab.mlp")).read()
+    assert mlp.count("<MLRaster") == 6 and "VCGCamera" in mlp
+
+    assert exporters.export_mvstexturing(sc, str(tmp_path / "mvstex"))
+    cams = [f for f in os.listdir(str(tmp_path / "mvstex")) if f.endswith(".cam")]
+    assert len(cams) == 6
+    body = open(str(tmp_path / "mvstex" / cams[0])).read().split("\n")
+    assert len(body[0].split()) == 12 and len(body[1].split()) == 6
+
+    assert exporters.export_cmpmvs(sc, str(tmp_path / "cmpmvs"))
+    assert os.path.exists(str(tmp_path / "cmpmvs/00000_P.txt"))
+    assert os.path.exists(str(tmp_path / "cmpmvs/01_mvs_firstRun.ini"))
+
+    assert exporters.export_frustums_ply(sc, str(tmp_path / "frustums.ply"),
+                                         colorize=True)
+    ply = open(str(tmp_path / "frustums.ply")).read().split("\n")
+    assert ply[0] == "ply"
+    n_v = int([l for l in ply if l.startswith("element vertex")][0].split()[-1])
+    n_f = int([l for l in ply if l.startswith("element face")][0].split()[-1])
+    assert n_v == 6 * 5 and n_f == 6 * 6
+
+
+def test_mvstexturing_projection_consistency(tmp_path):
+    """The .cam extrinsics reproject scene points to the observed pixels."""
+    s, sc = _scene()
+    exporters.export_mvstexturing(sc, str(tmp_path))
+    v = 0
+    base = os.path.splitext(os.path.basename(sc.view_filename[v]))[0]
+    rows = open(str(tmp_path / (base + ".cam"))).read().split("\n")
+    vals = [float(x) for x in rows[0].split()]
+    t, R = np.array(vals[:3]), np.array(vals[3:]).reshape(3, 3)
+    fl, _, _, _, ppx, ppy = [float(x) for x in rows[1].split()]
+    iid = int(sc.view_intrinsic[v])
+    w, h = float(sc.cameras.width[iid]), float(sc.cameras.height[iid])
+    sel = np.nonzero(sc.obs_valid & (sc.obs_view == v))[0][:5]
+    for idx in sel:
+        X = sc.X[sc.obs_landmark[idx]]
+        xc = R @ X + t
+        u = fl * max(w, h) * xc[0] / xc[2] + ppx * w
+        vv = fl * max(w, h) * xc[1] / xc[2] + ppy * h
+        np.testing.assert_allclose([u, vv], sc.obs_x[idx], atol=1e-6)

@@ -58,3 +58,67 @@ def test_kitti_loader(tmp_path):
     assert sc.n_views == 1
     np.testing.assert_allclose(sc.pose_C[0], [0.5, 0, 2])
     np.testing.assert_allclose(sc.cameras.params[0, 0], 700.0)
+
+
+def _random_KRC(seed):
+    rng = np.random.default_rng(seed)
+    K = np.array([[800.0, 0, 320], [0, 800, 240], [0, 0, 1]])
+    aa = rng.normal(size=3) * 0.3
+    th = np.linalg.norm(aa)
+    k = aa / th
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx
+    C = rng.normal(size=3)
+    return K, R, C
+
+
+def test_dtu_loader(tmp_path):
+    K, R, C = _random_KRC(3)
+    P = K @ np.concatenate([R, (-R @ C)[:, None]], axis=1)
+    with open(str(tmp_path / "pos_017.txt"), "w") as f:
+        for row in P:
+            f.write(" ".join(str(x) for x in row) + "\n")
+    sc = gt_loaders.load_dtu_gt(str(tmp_path))
+    assert sc.n_views == 1
+    np.testing.assert_allclose(sc.pose_C[0], C, atol=1e-8)
+    np.testing.assert_allclose(sc.pose_R[0], R, atol=1e-8)
+    np.testing.assert_allclose(sc.cameras.params[0, :3], [800, 320, 240],
+                               atol=1e-6)
+
+
+def test_blendedmvs_loader(tmp_path):
+    K, R, C = _random_KRC(4)
+    t = -R @ C
+    E = np.eye(4)
+    E[:3, :3], E[:3, 3] = R, t
+    with open(str(tmp_path / "00000012_cam.txt"), "w") as f:
+        f.write("extrinsic\n")
+        for row in E:
+            f.write(" ".join(str(x) for x in row) + "\n")
+        f.write("\nintrinsic\n")
+        for row in K:
+            f.write(" ".join(str(x) for x in row) + "\n")
+        f.write("\n425.0 2.5\n")
+    sc = gt_loaders.load_blendedmvs_gt(str(tmp_path))
+    assert sc.n_views == 1
+    assert sc.view_filename[0] == "00000012.jpg"
+    np.testing.assert_allclose(sc.pose_C[0], C, atol=1e-10)
+    np.testing.assert_allclose(sc.pose_R[0], R, atol=1e-10)
+
+
+def test_multiface_loader(tmp_path):
+    K, R, C = _random_KRC(5)
+    t = -R @ C
+    with open(str(tmp_path / "KRT"), "w") as f:
+        f.write("400002\n")
+        for row in K:
+            f.write(" ".join(str(x) for x in row) + "\n")
+        f.write("0 0\n")
+        for i in range(3):
+            f.write(" ".join(str(x) for x in R[i]) + f" {t[i]}\n")
+        f.write("\n")
+    sc = gt_loaders.load_multiface_gt(str(tmp_path))
+    assert sc.n_views == 1
+    assert sc.view_filename[0] == "400002.png"
+    np.testing.assert_allclose(sc.pose_C[0], C, atol=1e-10)
+    np.testing.assert_allclose(sc.pose_R[0], R, atol=1e-10)

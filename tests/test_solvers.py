@@ -197,3 +197,87 @@ def test_dlt6():
     np.testing.assert_allclose(np.asarray(R), s.R[0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(t) / np.linalg.norm(np.asarray(t)),
                                s.t[0] / np.linalg.norm(s.t[0]), atol=1e-6)
+
+
+def test_upright_3pt_essential():
+    """Planar upright motion: R about y, t in the xz plane."""
+    from openmvg_tpu.ops.essential import (essential_error_sq,
+                                           solve_essential_upright_3pt)
+
+    rng = np.random.default_rng(11)
+    th = 0.4
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]])
+    t = np.array([0.8, 0.0, 0.3])
+    X = rng.normal(size=(8, 3)) + np.array([0, 0, 5.0])
+    b1 = X / np.linalg.norm(X, axis=-1, keepdims=True)
+    Xc2 = X @ R.T + t
+    b2 = Xc2 / np.linalg.norm(Xc2, axis=-1, keepdims=True)
+    E = np.asarray(solve_essential_upright_3pt(
+        jnp.asarray(b1[:3]), jnp.asarray(b2[:3])))
+    err = np.asarray(essential_error_sq(jnp.asarray(E), jnp.asarray(b1),
+                                        jnp.asarray(b2)))
+    assert np.max(err) < 1e-12
+
+
+def test_ortho_3pt_essential():
+    """Orthographic projection pair; one candidate satisfies all epipolar
+    constraints."""
+    from openmvg_tpu.ops.essential import (ortho_essential_error_sq,
+                                           solve_essential_ortho_3pt)
+
+    rng = np.random.default_rng(3)
+    aa = rng.normal(size=3) * 0.4
+    thn = np.linalg.norm(aa)
+    k = aa / thn
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(thn) * Kx + (1 - np.cos(thn)) * Kx @ Kx
+    t = rng.normal(size=3)
+    X = rng.normal(size=(6, 3))
+    x1 = X[:, :2]                      # ortho projection in view 1
+    x2 = (X @ R.T + t)[:, :2]          # ortho projection in view 2
+    E2, ok = solve_essential_ortho_3pt(jnp.asarray(x1[:3]), jnp.asarray(x2[:3]))
+    E2, ok = np.asarray(E2), np.asarray(ok)
+    errs = [np.max(np.asarray(ortho_essential_error_sq(
+        jnp.asarray(E2[c]), jnp.asarray(x1), jnp.asarray(x2))))
+        for c in range(2) if ok[c]]
+    assert len(errs) >= 1 and min(errs) < 1e-10
+
+
+def test_up2p_resection():
+    from openmvg_tpu.ops.resection import solve_up2p
+
+    rng = np.random.default_rng(7)
+    th = -0.7
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]])
+    t = rng.normal(size=3)
+    X = rng.normal(size=(2, 3)) + np.array([0, 0, 4.0])
+    Xc = X @ R.T + t
+    b = Xc / np.linalg.norm(Xc, axis=-1, keepdims=True)
+    Rs, ts, ok = (np.asarray(a) for a in
+                  solve_up2p(jnp.asarray(b), jnp.asarray(X)))
+    best = min((np.linalg.norm(Rs[c] - R) + np.linalg.norm(ts[c] - t))
+               for c in range(2) if ok[c])
+    assert best < 1e-8
+
+
+def test_up2p_batched():
+    from openmvg_tpu.ops.resection import solve_up2p
+
+    rng = np.random.default_rng(9)
+    S = 16
+    ths = rng.uniform(-1, 1, S)
+    Rs = np.stack([np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                             [-np.sin(a), 0, np.cos(a)]]) for a in ths])
+    ts = rng.normal(size=(S, 3))
+    X = rng.normal(size=(S, 2, 3)) + np.array([0, 0, 5.0])
+    Xc = np.einsum("sij,snj->sni", Rs, X) + ts[:, None]
+    b = Xc / np.linalg.norm(Xc, axis=-1, keepdims=True)
+    Ro, to, ok = (np.asarray(a) for a in
+                  solve_up2p(jnp.asarray(b), jnp.asarray(X)))
+    for s in range(S):
+        best = min((np.linalg.norm(Ro[s, c] - Rs[s])
+                    + np.linalg.norm(to[s, c] - ts[s]))
+                   for c in range(2) if ok[s, c])
+        assert best < 1e-6
