@@ -1,0 +1,333 @@
+"""KVLD — K-VLD photometric/geometric match verification (Liu & Moulon).
+
+Reference parity: matching/kvld/{kvld.h,kvld.cpp,algorithm.h} — a virtual
+line descriptor (VLD) is computed for the segment joining two features in
+one image: 10 discs along the segment, each with a 24-bin gradient-
+orientation histogram (principal angle + weight) and an 8-bin mini
+descriptor, sampled from a sqrt(2)-step box-downsampled gradient pyramid;
+two matches are gvld-consistent when their VLDs differ by < 0.35 and the
+segment is geometrically consistent (< 0.5); matches keep needing K=3
+consistent neighbors, with duplicate-endpoint pruning and geometric
+re-scoring until a fixed point.
+
+TPU-first recast: the whole E-matrix (pairwise VLD differences over gated
+candidate pairs) is computed up-front in fixed-shape batched chunks — each
+VLD is 10 discs x a 13x13 masked window gathered from a stacked pyramid —
+instead of the reference's lazily-filled, order-dependent cache with a
+max_connection=20 early break (kvld.cpp:252-301).  The pruning fixed-point
+loop then runs on the host over the precomputed E.  Candidate sets differ
+only through that early break; selection semantics are otherwise the same.
+
+Expected image range [0, 255] (contrast gate maxContrast=300, kvld.h:25).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# kvld.h:21-30
+JUGE = 0.35
+MAX_CONNECTION = 20
+DISTANCE_THRES = 0.5
+MIN_DIST = 10.0
+MAX_CONTRAST = 300.0
+DIMENSION = 10
+SUBDIR = 8
+BINNUM = 24
+WIN = 13  # fixed disc sampling window (effective radius <= 5px at level)
+
+
+# ---------------------------------------------------------------------------
+# gradient pyramid (ImageScale, kvld.cpp:20-96)
+# ---------------------------------------------------------------------------
+
+def build_image_scale(image, radius_size=5.0):
+    """sqrt(2)-step box-averaged pyramid of gradient angle/magnitude.
+
+    Returns dict with stacked padded arrays: angles/mags (L, H, W),
+    whs (L, 2) int, ratios (L,).  angle is in [0, 2pi), -1 where the
+    gradient is zero (anglefrom convention)."""
+    I = np.asarray(image, np.float64)
+    H, W = I.shape
+    step = math.sqrt(2.0)
+    n_levels = int(math.log(max(H, W) / radius_size) / math.log(2.0)) + 1
+
+    # integral image for box resampling (IntegralImages, algorithm.cpp)
+    ii = np.zeros((H + 1, W + 1))
+    ii[1:, 1:] = np.cumsum(np.cumsum(I, 0), 1)
+
+    def box(cx, cy, r):
+        """mean of I over the r x r box centered at (cx, cy) (clipped)."""
+        x0 = np.clip(np.floor(cx - r / 2).astype(int), 0, W)
+        x1 = np.clip(np.floor(cx + r / 2).astype(int), 0, W)
+        y0 = np.clip(np.floor(cy - r / 2).astype(int), 0, H)
+        y1 = np.clip(np.floor(cy + r / 2).astype(int), 0, H)
+        area = np.maximum((x1 - x0) * (y1 - y0), 1)
+        return (ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]) / area
+
+    angles = np.full((n_levels, H, W), -1.0, np.float32)
+    mags = np.zeros((n_levels, H, W), np.float32)
+    whs = np.zeros((n_levels, 2), np.int32)
+    ratios = np.zeros(n_levels)
+    for k in range(n_levels):
+        ratio = step ** k
+        w, h = int(W / ratio), int(H / ratio)
+        if k == 0:
+            lvl = I
+        else:
+            xs = (np.arange(w) + 0.5) * ratio
+            ys = (np.arange(h) + 0.5) * ratio
+            lvl = box(xs[None, :], ys[:, None], ratio)
+        gx = np.zeros((h, w))
+        gy = np.zeros((h, w))
+        gx[1:-1, 1:-1] = lvl[1:-1, 2:] - lvl[1:-1, :-2]
+        gy[1:-1, 1:-1] = lvl[2:, 1:-1] - lvl[:-2, 1:-1]
+        m = np.hypot(gx, gy)
+        ang = np.arctan2(gy, gx)
+        ang = np.where(ang < 0, ang + 2 * np.pi, ang)
+        ang = np.where(m > 0, ang, -1.0)
+        angles[k, :h, :w] = ang
+        mags[k, :h, :w] = m
+        whs[k] = (w, h)
+        ratios[k] = ratio
+    return dict(angles=jnp.asarray(angles), mags=jnp.asarray(mags),
+                whs=jnp.asarray(whs), ratios=jnp.asarray(ratios),
+                radius_size=radius_size)
+
+
+# ---------------------------------------------------------------------------
+# batched VLD (kvld.cpp:98-193)
+# ---------------------------------------------------------------------------
+
+def _vld_one(pyr, p1, p2):
+    """VLD of the segment p1 -> p2 (full-res pixel coords).
+
+    Returns (descriptor (80,), principal (10,) int, weight (10,),
+    contrast scalar)."""
+    angles, mags = pyr["angles"], pyr["mags"]
+    whs, ratios = pyr["whs"], pyr["ratios"]
+    n_levels = angles.shape[0]
+    radius_size = pyr["radius_size"]
+
+    d = p2 - p1
+    distance = jnp.sqrt(jnp.sum(d * d))
+    radius = jnp.maximum(distance / (DIMENSION + 1), 2.0)
+    # getIndex (kvld.cpp:81-96): smallest k with radius <= radius_size*step^k
+    lvl = jnp.ceil(jnp.log(jnp.maximum(radius / radius_size, 1.0))
+                   / jnp.log(jnp.sqrt(2.0)) - 1e-9).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 0, n_levels - 1)
+    ratio = ratios[lvl]
+    w = whs[lvl, 0]
+    h = whs[lvl, 1]
+    r = radius / ratio
+    sigma2 = r * r
+    ang_img = angles[lvl]
+    mag_img = mags[lvl]
+
+    main_angle = jnp.arctan2(d[1], d[0])
+    main_angle = jnp.where(main_angle < 0, main_angle + 2 * jnp.pi, main_angle)
+
+    # disc centers (level coords)
+    frac = (jnp.arange(DIMENSION, dtype=p1.dtype) + 1.0) / (DIMENSION + 1)
+    cx = (p1[0] + frac * d[0]) / ratio           # (10,)
+    cy = (p1[1] + frac * d[1]) / ratio
+
+    # fixed 13x13 windows
+    off = jnp.arange(WIN, dtype=jnp.int32)
+    bx = jnp.trunc(cx - r).astype(jnp.int32)     # (10,)
+    by = jnp.trunc(cy - r).astype(jnp.int32)
+    xs = bx[:, None, None] + off[None, None, :]  # (10, 1, 13) -> broadcast
+    ys = by[:, None, None] + off[None, :, None]
+    xs = jnp.broadcast_to(xs, (DIMENSION, WIN, WIN))
+    ys = jnp.broadcast_to(ys, (DIMENSION, WIN, WIN))
+    dist = jnp.sqrt((xs - cx[:, None, None]) ** 2
+                    + (ys - cy[:, None, None]) ** 2)
+    inside = (xs >= 1) & (xs < w - 1) & (ys >= 1) & (ys < h - 1)
+    ok = (dist <= r) & inside
+    xs_c = jnp.clip(xs, 0, angles.shape[2] - 1)
+    ys_c = jnp.clip(ys, 0, angles.shape[1] - 1)
+    ang = ang_img[ys_c, xs_c]
+    mag = mag_img[ys_c, xs_c]
+
+    rel = jnp.where(ang >= 0, ang - main_angle, 0.0)
+    rel = jnp.mod(rel, 2 * jnp.pi)
+    gweight = jnp.exp(-dist * dist / 4.5 / sigma2) * mag * ok
+
+    bin24 = jnp.floor(rel * BINNUM / (2 * jnp.pi) + 0.5).astype(jnp.int32)
+    bin24 = jnp.where(bin24 >= BINNUM, 0, bin24)
+    bin8 = jnp.floor(rel * SUBDIR / (2 * jnp.pi) + 0.5).astype(jnp.int32)
+    bin8 = jnp.where(bin8 >= SUBDIR, 0, bin8)
+
+    disc_id = jnp.broadcast_to(jnp.arange(DIMENSION)[:, None, None],
+                               bin24.shape)
+    stat = jnp.zeros((DIMENSION, BINNUM)).at[
+        disc_id.reshape(-1), bin24.reshape(-1)].add(gweight.reshape(-1))
+    desc = jnp.zeros((DIMENSION, SUBDIR)).at[
+        disc_id.reshape(-1), bin8.reshape(-1)].add(gweight.reshape(-1))
+
+    weight = jnp.max(stat, axis=-1)              # (10,)
+    principal = jnp.argmax(stat, axis=-1)        # (10,)
+    desc = desc.reshape(-1)
+    total = jnp.sum(desc)
+    desc = desc / jnp.where(total == 0, 1.0, total)
+    contrast = jnp.sum(weight) / jnp.maximum(distance / ratio, 1e-12)
+    wsum = jnp.sum(weight)
+    weight = weight / jnp.where(wsum == 0, 1.0, wsum)
+    return desc, principal, weight, contrast
+
+
+def vld_difference(v1, v2):
+    """VLD::difference (kvld.h:100-124)."""
+    d1, p1, w1, c1 = v1
+    d2, p2, w2, c2 = v2
+    bad = (c1 > MAX_CONTRAST) | (c2 > MAX_CONTRAST) | (c1 <= 0) | (c2 <= 0)
+    diff0 = jnp.sum(jnp.abs(d1 - d2), axis=-1) * 0.36
+    pd = jnp.abs(p1 - p2)
+    circ = jnp.minimum(pd, BINNUM - pd)
+    diff1 = jnp.sum(circ * (w1 + w2), axis=-1) * 0.64 / BINNUM
+    return jnp.where(bad, 128.0, diff0 + diff1)
+
+
+_vld_pair_diff = jax.jit(
+    lambda pyr1, pyr2, a1, a2, b1, b2: vld_difference(
+        jax.vmap(lambda p, q: _vld_one(pyr1, p, q))(a1, a2),
+        jax.vmap(lambda p, q: _vld_one(pyr2, p, q))(b1, b2)))
+
+
+# ---------------------------------------------------------------------------
+# KVLD driver (kvld.cpp:195-422)
+# ---------------------------------------------------------------------------
+
+def kvld_filter(image1, image2, feats1, feats2, matches, K=3,
+                inlier_rate=0.04, geometry=True, chunk=2048):
+    """Filter putative matches by K-VLD consistency.
+
+    image1/2: (H, W) gray in [0, 255]; feats: dict with 'xy' (N, 2),
+    'scale' (N,), 'orientation' (N,); matches: (M, 2) int indices.
+    Returns (filtered_matches (M', 2), scores (M',), valid_mask (M,))."""
+    matches = np.asarray(matches, np.int64).reshape(-1, 2)
+    M = len(matches)
+    if M == 0:
+        return matches, np.zeros(0), np.zeros(0, bool)
+    xy1 = np.asarray(feats1["xy"], np.float64)
+    xy2 = np.asarray(feats2["xy"], np.float64)
+    sc1 = np.asarray(feats1.get("scale", np.ones(len(xy1))), np.float64)
+    sc2 = np.asarray(feats2.get("scale", np.ones(len(xy2))), np.float64)
+    or1 = np.asarray(feats1.get("orientation", np.zeros(len(xy1))), np.float64)
+    or2 = np.asarray(feats2.get("orientation", np.zeros(len(xy2))), np.float64)
+
+    H1, W1 = np.asarray(image1).shape
+    H2, W2 = np.asarray(image2).shape
+    a_count = min(len(xy1), M)
+    b_count = min(len(xy2), M)
+    range1 = math.sqrt(3.0 * H1 * W1 / (inlier_rate * a_count * math.pi))
+    range2 = math.sqrt(3.0 * H2 * W2 / (inlier_rate * b_count * math.pi))
+
+    pa = xy1[matches[:, 0]]
+    pb = xy2[matches[:, 1]]
+    d1 = np.hypot(pa[:, None, 0] - pa[None, :, 0],
+                  pa[:, None, 1] - pa[None, :, 1])
+    d2 = np.hypot(pb[:, None, 0] - pb[None, :, 0],
+                  pb[:, None, 1] - pb[None, :, 1])
+    gate = ((d1 > MIN_DIST) & (d2 > MIN_DIST)
+            & ((d1 < range1) | (d2 < range2)))
+
+    iu, ju = np.triu_indices(M, k=1)
+    cand = gate[iu, ju]
+    iu, ju = iu[cand], ju[cand]
+
+    if geometry and len(iu):
+        geo = _consistent_matchpair(xy1, sc1, or1, xy2, sc2, or2,
+                                    matches, iu, ju)
+        keep = geo < DISTANCE_THRES
+        iu, ju = iu[keep], ju[keep]
+
+    # batched VLD differences over surviving candidate pairs
+    E = np.full((M, M), -1.0, np.float32)
+    if len(iu):
+        pyr1 = build_image_scale(image1)
+        pyr2 = build_image_scale(image2)
+        for s in range(0, len(iu), chunk):
+            sl = slice(s, s + chunk)
+            a1 = jnp.asarray(xy1[matches[iu[sl], 0]])
+            a2 = jnp.asarray(xy1[matches[ju[sl], 0]])
+            b1 = jnp.asarray(xy2[matches[iu[sl], 1]])
+            b2 = jnp.asarray(xy2[matches[ju[sl], 1]])
+            diff = np.asarray(_vld_pair_diff(pyr1, pyr2, a1, a2, b1, b2))
+            ok = diff < JUGE
+            E[iu[sl][ok], ju[sl][ok]] = diff[ok]
+            E[ju[sl][ok], iu[sl][ok]] = diff[ok]
+
+    # -------- fixed-point pruning (kvld.cpp:245-412) --------
+    valid = np.ones(M, bool)
+    consistent_m = E >= 0
+    scoretable = np.zeros(M)
+    result = np.zeros(M, np.int64)
+    for _ in range(64):
+        change = False
+        vm = valid[None, :] & valid[:, None] & consistent_m
+        result = vm.sum(axis=1)
+        scoretable = np.where(vm, E, 0.0).sum(axis=1)
+        drop = valid & (result < K)
+        if drop.any():
+            valid[drop] = False
+            change = True
+            continue
+        # duplicate endpoints: keep the best by (result, then lower score)
+        for side_ids in (matches[:, 0], matches[:, 1]):
+            order = np.lexsort((scoretable, -result, side_ids))
+            srt = order[valid[order]]
+            ids = side_ids[srt]
+            dup = np.zeros(len(srt), bool)
+            dup[1:] = ids[1:] == ids[:-1]
+            if dup.any():
+                valid[srt[dup]] = False
+                change = True
+        if change:
+            continue
+        if geometry:
+            vm = valid[None, :] & valid[:, None] & gate
+            np.fill_diagonal(vm, False)
+            geo_full = np.zeros((M, M))
+            vi, vj = np.nonzero(vm)
+            if len(vi):
+                geo_full[vi, vj] = _consistent_matchpair(
+                    xy1, sc1, or1, xy2, sc2, or2, matches, vi, vj)
+            index = vm.sum(axis=1)
+            good = (vm & (geo_full < DISTANCE_THRES)).sum(axis=1)
+            avg = np.where(index > 0,
+                           np.where(vm, geo_full, 0).sum(axis=1)
+                           / np.maximum(index, 1), 0.0)
+            switching = valid & (index > 0) & (good < 0.3 * index) & (avg > 1.2)
+            scoretable = np.where(switching, avg, scoretable)
+            if switching.any():
+                valid[switching] = False
+                change = True
+        if not change:
+            break
+    sel = np.nonzero(valid)[0]
+    return matches[sel], scoretable[sel], valid
+
+
+def _consistent_matchpair(xy1, sc1, or1, xy2, sc2, or2, matches, i, j):
+    """consistent(F1[a1], F1[a2], F2[b1], F2[b2]) for match index pairs."""
+    a1, b1 = matches[i, 0], matches[i, 1]
+    a2, b2 = matches[j, 0], matches[j, 1]
+    ax = xy1[a1, 0] - xy1[a2, 0]
+    ay = xy1[a1, 1] - xy1[a2, 1]
+    bx = xy2[b1, 0] - xy2[b2, 0]
+    by = xy2[b1, 1] - xy2[b2, 1]
+    d_b = np.hypot(bx, by)
+
+    def side(angle, s_ratio):
+        axr = (np.cos(angle) * ax - np.sin(angle) * ay) * s_ratio
+        ayr = (np.sin(angle) * ax + np.cos(angle) * ay) * s_ratio
+        dd = np.hypot(axr, ayr)
+        err = np.hypot(axr - bx, ayr - by)
+        return err / np.maximum(np.minimum(dd, d_b), 1e-12)
+
+    dA = side(or2[b1] - or1[a1], sc2[b1] / np.maximum(sc1[a1], 1e-12))
+    dB = side(or2[b2] - or1[a2], sc2[b2] / np.maximum(sc1[a2], 1e-12))
+    return np.minimum(dA, dB)
