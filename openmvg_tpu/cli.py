@@ -433,6 +433,209 @@ def cmd_report(args):
     return 0
 
 
+def cmd_convert(args):
+    """main_ConvertSfM_DataFormat.cpp: re-save with selected part flags."""
+    from openmvg_tpu.io import sfm_data as sio
+
+    parts = 0
+    flag_map = dict(V=sio.VIEWS, I=sio.INTRINSICS, E=sio.EXTRINSICS,
+                    S=sio.STRUCTURE, C=sio.CONTROL_POINTS)
+    for ch, bit in flag_map.items():
+        if getattr(args, {"V": "views", "I": "intrinsics", "E": "extrinsics",
+                          "S": "structure", "C": "control_points"}[ch]):
+            parts |= bit
+    if parts == 0:
+        parts = sio.ALL
+    scene = sio.load_sfm_data(args.input_file)
+    sio.save_sfm_data(scene, args.output_file, parts)
+    print(f"converted to {args.output_file}")
+    return 0
+
+
+def cmd_points_filter(args):
+    """main_PointsFiltering.cpp: X84 depth cleaning (5.2 x median)."""
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.sfm.filters import depth_cleaning
+
+    scene = _load_scene(args.input_file)
+    min_median = depth_cleaning(scene, k_factor=args.factor)
+    scene.compact_structure()
+    save_sfm_data(scene, args.output_file)
+    print(f"min median depth = {min_median}; "
+          f"{scene.n_landmarks} landmarks kept")
+    return 0
+
+
+def cmd_frustum_filter(args):
+    """main_FrustumFiltering.cpp: pair list from frustum intersection."""
+    from openmvg_tpu.geometry.frustum import frustum_filter_pairs
+    from openmvg_tpu.utils.graph import exhaustive_pairs
+
+    scene = _load_scene(args.input_file)
+    posed = [v for v in range(scene.n_views)
+             if scene.view_pose[v] >= 0 and scene.pose_valid[scene.view_pose[v]]]
+    cand = [(i, j) for (i, j) in exhaustive_pairs(scene.n_views)
+            if i in set(posed) and j in set(posed)]
+    pairs = frustum_filter_pairs(scene, cand, z_near=args.z_near,
+                                 z_far=args.z_far)
+    with open(args.output_file, "w") as f:
+        for i, j in pairs:
+            f.write(f"{i} {j}\n")
+    print(f"{len(pairs)}/{len(cand)} pairs kept")
+    return 0
+
+
+def cmd_change_origin(args):
+    """main_ChangeLocalOrigin.cpp: translate the scene to a local origin."""
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+
+    scene = _load_scene(args.input_file)
+    if args.first_frame_origin:
+        posed = [p for p in range(scene.n_poses) if scene.pose_valid[p]]
+        if not posed:
+            print("scene has no poses", file=sys.stderr)
+            return 1
+        origin = scene.pose_C[posed[0]].copy()
+    else:
+        vals = args.local_frame_origin.split(";")
+        if len(vals) != 3:
+            print("origin must be 'x;y;z'", file=sys.stderr)
+            return 1
+        origin = np.array([float(v) for v in vals])
+    scene.pose_C = scene.pose_C - origin
+    if len(scene.X):
+        scene.X = scene.X - origin
+    if len(scene.cp_X):
+        scene.cp_X = scene.cp_X - origin
+    if scene.prior_center is not None:
+        scene.prior_center = scene.prior_center - origin
+    out = args.output_directory
+    os.makedirs(out, exist_ok=True)
+    save_sfm_data(scene, os.path.join(out, "sfm_data_local.bin"))
+    with open(os.path.join(out, "local_frame_origin.txt"), "w") as f:
+        f.write(f"{origin[0]} {origin[1]} {origin[2]}\n")
+    print(f"origin {origin} subtracted")
+    return 0
+
+
+def cmd_list_pairs(args):
+    """main_ListMatchingPairs.cpp: E (exhaustive) / V (video) / G (GPS)."""
+    from openmvg_tpu.utils.graph import contiguous_pairs, exhaustive_pairs
+
+    scene = _load_scene(args.input_file)
+    n = scene.n_views
+    if args.video_mode:
+        pairs = contiguous_pairs(n, args.video_distance)
+    elif args.gps_mode:
+        centers = np.full((n, 3), np.nan)
+        if scene.prior_center is not None:
+            centers = np.asarray(scene.prior_center, float)
+        pairs = []
+        for i in range(n):
+            if np.any(np.isnan(centers[i])):
+                continue
+            d = np.linalg.norm(centers - centers[i], axis=1)
+            near = np.argsort(d)
+            kept = [int(j) for j in near if j != i
+                    and not np.any(np.isnan(centers[j]))][:args.gps_neighbor]
+            pairs += [(min(i, j), max(i, j)) for j in kept]
+        pairs = sorted(set(pairs))
+    else:
+        pairs = exhaustive_pairs(n)
+    with open(args.output_file, "w") as f:
+        for i, j in pairs:
+            f.write(f"{i} {j}\n")
+    print(f"{len(pairs)} pairs")
+    return 0
+
+
+def cmd_convert_matches(args):
+    """main_ConvertMatches.cpp: matches bin <-> txt."""
+    from openmvg_tpu.io.matches_io import load_matches, save_matches
+
+    save_matches(load_matches(args.input_file), args.output_file)
+    print(f"converted {args.input_file} -> {args.output_file}")
+    return 0
+
+
+def cmd_matches_to_tracks(args):
+    """main_MatchesToTracks.cpp: fuse matches into tracks, report stats."""
+    from openmvg_tpu.io.matches_io import load_matches
+    from openmvg_tpu.sfm.tracks import build_tracks
+
+    matches = load_matches(args.input_file)
+    tracks = build_tracks(matches)
+    lengths = np.bincount(tracks.track_id)
+    stats = {
+        "n_tracks": int(tracks.track_id.max()) + 1 if len(tracks.track_id) else 0,
+        "n_observations": len(tracks.track_id),
+        "mean_length": float(lengths[lengths > 0].mean()) if len(lengths) else 0,
+    }
+    if args.output_file:
+        with open(args.output_file, "w") as f:
+            for t, v, ft in zip(tracks.track_id, tracks.view_id,
+                                tracks.feat_id):
+                f.write(f"{t} {v} {ft}\n")
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_split_matches(args):
+    """main_SplitMatchFileIntoMatchFiles.cpp: per-component match files."""
+    from openmvg_tpu.io.matches_io import load_matches, save_matches
+    from openmvg_tpu.sfm.clustering import split_matches_by_component
+
+    matches = load_matches(args.input_file)
+    parts = split_matches_by_component(matches, args.min_nodes)
+    base, ext = os.path.splitext(args.output_file)
+    for k, sub in enumerate(parts):
+        save_matches(sub, f"{base}_{k}{ext}")
+    print(f"{len(parts)} match files written")
+    return 0
+
+
+def cmd_bench_ann(args):
+    """main_benchANN.cpp analogue: matcher recall/time micro-benchmark on
+    synthetic descriptors (brute-force exact 2-NN vs cascade hashing)."""
+    import jax
+
+    from openmvg_tpu.ops import matching as mt
+
+    rng = np.random.default_rng(0)
+    n, d = args.n_descriptors, 128
+    base = rng.integers(0, 255, (n, d)).astype(np.float32)
+    noise = rng.normal(0, args.noise, (n, d)).astype(np.float32)
+    query = np.clip(base + noise, 0, 255)
+    def to_set(res):
+        ia = np.asarray(res.idx_a)
+        ib = np.asarray(res.idx_b)
+        ok = np.asarray(res.mask)
+        return {(int(a), int(b)) for a, b in zip(ia[ok], ib[ok])}
+
+    t0 = time.time()
+    bf_set = to_set(mt.match_brute_force(
+        jax.numpy.asarray(query), jax.numpy.asarray(base), ratio=args.ratio))
+    t_bf = time.time() - t0
+    proj = mt.make_hash_projections(jax.random.PRNGKey(0))
+    mean = jax.numpy.asarray(base.mean(0))
+    t0 = time.time()
+    ch_set = to_set(mt.match_cascade(
+        jax.numpy.asarray(query), jax.numpy.asarray(base), proj, mean,
+        ratio=args.ratio))
+    t_ch = time.time() - t0
+    gt = {(i, i) for i in range(n)}
+    out = {
+        "bruteforce": {"time_s": t_bf, "n": len(bf_set),
+                       "recall": len(bf_set & gt) / n},
+        "cascade": {"time_s": t_ch, "n": len(ch_set),
+                    "recall": len(ch_set & gt) / n,
+                    "agreement_with_bf": (len(bf_set & ch_set)
+                                          / max(len(bf_set), 1))},
+    }
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="openmvg_tpu",
                                  description=__doc__.splitlines()[0])
@@ -540,6 +743,67 @@ def main(argv=None):
     p.add_argument("-i", "--input_file", required=True)
     p.add_argument("-o", "--output_file", required=True)
     p.set_defaults(fn=cmd_report)
+
+    p = sub.add_parser("convert")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-V", "--views", action="store_true")
+    p.add_argument("-I", "--intrinsics", action="store_true")
+    p.add_argument("-E", "--extrinsics", action="store_true")
+    p.add_argument("-S", "--structure", action="store_true")
+    p.add_argument("-C", "--control_points", action="store_true")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("points-filter")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-f", "--factor", type=float, default=5.2)
+    p.set_defaults(fn=cmd_points_filter)
+
+    p = sub.add_parser("frustum-filter")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-n", "--z_near", type=float, default=0.01)
+    p.add_argument("-f", "--z_far", type=float, default=100.0)
+    p.set_defaults(fn=cmd_frustum_filter)
+
+    p = sub.add_parser("change-origin")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_directory", required=True)
+    p.add_argument("-l", "--local_frame_origin", default="")
+    p.add_argument("-f", "--first_frame_origin", action="store_true")
+    p.set_defaults(fn=cmd_change_origin)
+
+    p = sub.add_parser("list-pairs")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-V", "--video_mode", action="store_true")
+    p.add_argument("-G", "--gps_mode", action="store_true")
+    p.add_argument("-d", "--video_distance", type=int, default=1)
+    p.add_argument("-n", "--gps_neighbor", type=int, default=5)
+    p.set_defaults(fn=cmd_list_pairs)
+
+    p = sub.add_parser("convert-matches")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.set_defaults(fn=cmd_convert_matches)
+
+    p = sub.add_parser("matches2tracks")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", default="")
+    p.set_defaults(fn=cmd_matches_to_tracks)
+
+    p = sub.add_parser("split-matches")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-n", "--min_nodes", type=int, default=3)
+    p.set_defaults(fn=cmd_split_matches)
+
+    p = sub.add_parser("bench-ann")
+    p.add_argument("-n", "--n_descriptors", type=int, default=4096)
+    p.add_argument("-r", "--ratio", type=float, default=0.8)
+    p.add_argument("--noise", type=float, default=4.0)
+    p.set_defaults(fn=cmd_bench_ann)
 
     args = ap.parse_args(argv)
     _enable_compilation_cache()

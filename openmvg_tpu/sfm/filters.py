@@ -132,3 +132,39 @@ def bad_track_rejector(scene: Scene, precision_px=4.0, count_threshold=50,
     n1 = remove_outliers_pixel_residual(scene, precision_px, 2)
     n2 = remove_outliers_angle_error(scene, min_angle_deg)
     return (n1 + n2) > count_threshold
+
+
+def depth_cleaning(scene: Scene, k_factor=5.2, min_points_per_pose=12,
+                   min_track_length=2):
+    """X84-style per-view depth outlier removal (sfm_data_filters.cpp:391-469
+    DepthCleaning): drop observations whose camera depth exceeds
+    k_factor x that view's median depth, then erase unstable poses/points.
+    Returns the minimum median depth across views."""
+    import numpy as np
+
+    ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
+    pid = scene.view_pose[scene.obs_view]
+    ok &= (pid >= 0) & scene.pose_valid[np.clip(pid, 0, max(scene.n_poses - 1, 0))]
+    idx = np.nonzero(ok)[0]
+    if len(idx) == 0:
+        return float("inf")
+    R = scene.pose_R[pid[idx]]
+    C = scene.pose_C[pid[idx]]
+    X = scene.X[scene.obs_landmark[idx]]
+    depth = np.einsum("nj,nj->n", R[:, 2, :], X - C)
+    views = scene.obs_view[idx]
+
+    med = {}
+    min_median = float("inf")
+    for v in np.unique(views):
+        dv = depth[(views == v) & (depth > 0)]
+        if len(dv):
+            m = float(np.median(dv))
+            med[int(v)] = k_factor * m
+            min_median = min(min_median, m)
+    thr = np.array([med.get(int(v), -1.0) for v in views])
+    keep = (depth > 0) & (thr > 0) & (depth < thr)
+    scene.obs_valid[idx[~keep]] = False
+    erase_unstable_poses_and_observations(
+        scene, min_points_per_pose, min_track_length)
+    return min_median

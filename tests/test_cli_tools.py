@@ -1,0 +1,90 @@
+"""Tests: auxiliary CLI tools (convert, points-filter, frustum-filter,
+change-origin, list-pairs, convert-matches, matches2tracks, split-matches)."""
+
+import json
+import os
+
+import numpy as np
+
+from openmvg_tpu.cli import main
+from openmvg_tpu.io.matches_io import load_matches, save_matches
+from openmvg_tpu.io.sfm_data import load_sfm_data, save_sfm_data
+from openmvg_tpu.utils.synthetic import ring_scene
+from tests.test_ba import scene_from_ring
+
+
+def _setup(tmp_path):
+    s = ring_scene(n_views=6, n_points=40, seed=0)
+    sc = scene_from_ring(s, seed=1)
+    sp = str(tmp_path / "sfm_data.json")
+    save_sfm_data(sc, sp)
+    m = {(0, 1): np.stack([np.arange(10)] * 2, 1),
+         (1, 2): np.stack([np.arange(10)] * 2, 1),
+         (3, 4): np.stack([np.arange(8)] * 2, 1),
+         (4, 5): np.stack([np.arange(8)] * 2, 1)}
+    mp = str(tmp_path / "matches.bin")
+    save_matches(m, mp)
+    return sp, mp
+
+
+def test_convert_part_flags(tmp_path):
+    sp, _ = _setup(tmp_path)
+    out = str(tmp_path / "out.json")
+    assert main(["convert", "-i", sp, "-o", out, "-V", "-I", "-E"]) == 0
+    sc = load_sfm_data(out)
+    assert sc.n_views == 6 and sc.n_landmarks == 0
+
+
+def test_points_filter_keeps_clean_scene(tmp_path):
+    sp, _ = _setup(tmp_path)
+    out = str(tmp_path / "f.json")
+    assert main(["points-filter", "-i", sp, "-o", out]) == 0
+    assert load_sfm_data(out).n_landmarks == 40
+
+
+def test_frustum_filter_and_list_pairs(tmp_path):
+    sp, _ = _setup(tmp_path)
+    pf = str(tmp_path / "pf.txt")
+    assert main(["frustum-filter", "-i", sp, "-o", pf]) == 0
+    assert len(open(pf).read().split("\n")[0].split()) == 2
+    lp = str(tmp_path / "lp.txt")
+    assert main(["list-pairs", "-i", sp, "-o", lp, "-V", "-d", "2"]) == 0
+    pairs = [tuple(map(int, l.split())) for l in open(lp) if l.strip()]
+    assert (0, 1) in pairs and (0, 2) in pairs and (0, 3) not in pairs
+
+
+def test_change_origin(tmp_path):
+    sp, _ = _setup(tmp_path)
+    outdir = str(tmp_path / "local")
+    sc0 = load_sfm_data(sp)
+    assert main(["change-origin", "-i", sp, "-o", outdir, "-f"]) == 0
+    sc = load_sfm_data(os.path.join(outdir, "sfm_data_local.bin"))
+    origin = np.array([float(x) for x in
+                       open(os.path.join(outdir,
+                                         "local_frame_origin.txt")).read().split()])
+    posed = [p for p in range(sc0.n_poses) if sc0.pose_valid[p]]
+    np.testing.assert_allclose(origin, sc0.pose_C[posed[0]], atol=1e-12)
+    np.testing.assert_allclose(sc.pose_C + origin, sc0.pose_C, atol=1e-6)
+
+
+def test_matches_roundtrip_tools(tmp_path):
+    sp, mp = _setup(tmp_path)
+    txt = str(tmp_path / "m.txt")
+    assert main(["convert-matches", "-i", mp, "-o", txt]) == 0
+    back = load_matches(txt)
+    orig = load_matches(mp)
+    assert set(back) == set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(orig[k]))
+
+    tr = str(tmp_path / "tracks.txt")
+    assert main(["matches2tracks", "-i", mp, "-o", tr]) == 0
+    rows = [l.split() for l in open(tr) if l.strip()]
+    assert len(rows) == 54  # 18 tracks x 3 obs
+
+    sm = str(tmp_path / "split.bin")
+    assert main(["split-matches", "-i", mp, "-o", sm]) == 0
+    p0 = load_matches(str(tmp_path / "split_0.bin"))
+    p1 = load_matches(str(tmp_path / "split_1.bin"))
+    assert {(0, 1), (1, 2)} in (set(p0), set(p1))
+    assert {(3, 4), (4, 5)} in (set(p0), set(p1))
