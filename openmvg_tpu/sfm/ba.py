@@ -126,11 +126,14 @@ def robust_cost(p: BAProblem, cfg: BAConfig, axis=None):
     else:
         rho = s
     c = 0.5 * jnp.sum(rho * p.obs_w)
+    if axis is not None:
+        # only the observation term is sharded; the pose-prior term below is
+        # computed on replicated pose arrays (identical on every shard) and
+        # must not be multiplied by the shard count
+        c = jax.lax.psum(c, axis)
     pose6 = jnp.concatenate([p.rotvec, p.t], axis=-1)
     rp = jax.vmap(_prior_residual_one)(pose6, p.prior_C, p.prior_w)
     c = c + 0.5 * jnp.sum(rp * rp)
-    if axis is not None:
-        c = jax.lax.psum(c, axis)
     return c
 
 
@@ -178,15 +181,26 @@ def _camera_rmatvec(u, p, Jp6, Ji8, n_pose, n_intr, axis=None):
     return gp, gi
 
 
-def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None):
+def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None,
+                   point_axis="same"):
     """One damped normal-equation solve.  Returns (d_pose (P,6),
-    d_intr (I,8), d_X (L,3), predicted_gain)."""
+    d_intr (I,8), d_X (L,3), predicted_gain).
+
+    `axis` reduces camera-block segment sums across shards (observation
+    sharding); `point_axis` does the same for point blocks.  The default
+    ("same") replicates points.  Pass point_axis=None with axis set for the
+    point-block-sharded mode (parallel/dist_ba.py): each shard owns its
+    points and all their observations, so Hpp / gx / d_X stay shard-local
+    — the O(landmarks) state never materializes replicated."""
+    if point_axis == "same":
+        point_axis = axis
     n_pose = p.rotvec.shape[0]
     n_intr = p.intr_params.shape[0]
     n_pts = p.X.shape[0]
 
     # point blocks Hpp = sum Jx^T Jx + lam*diag, and their damped inverse
-    Hpp = _seg_sum(jnp.einsum("oij,oik->ojk", Jx3, Jx3), p.obs_point, n_pts, axis)
+    Hpp = _seg_sum(jnp.einsum("oij,oik->ojk", Jx3, Jx3), p.obs_point, n_pts,
+                   point_axis)
     dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     damp_pp = jnp.maximum(dpp, 1e-12)
     Hpp = Hpp + lam * damp_pp[..., None] * jnp.eye(3, dtype=Hpp.dtype)
@@ -195,7 +209,8 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
 
     # gradient
     gp, gi = _camera_rmatvec(-r, p, Jp6, Ji8, n_pose, n_intr, axis)
-    gx = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, -r), p.obs_point, n_pts, axis)
+    gx = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, -r), p.obs_point, n_pts,
+                  point_axis)
 
     # GPS prior blocks (pose-only, dense per pose, replicated under sharding)
     pose6 = jnp.concatenate([p.rotvec, p.t], axis=-1)
@@ -235,7 +250,8 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
         """S v = (B + lam D) v - E Hpp^-1 E^T v, all implicit via J."""
         vp, vi = v
         u = _camera_matvec(vp, vi, p, Jp6, Ji8)
-        w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts, axis)
+        w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts,
+                     point_axis)
         y = _solve_sym3(Hpp, w)
         zz = jnp.einsum("oij,oj->oi", Jx3, y[p.obs_point])
         sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr, axis)
@@ -283,14 +299,18 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
 
     # back-substitute points: d_X = Hpp^-1 (gx - E^T dc)
     u = _camera_matvec(d_pose, d_intr, p, Jp6, Ji8)
-    w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts, axis)
+    w = _seg_sum(jnp.einsum("oij,oi->oj", Jx3, u), p.obs_point, n_pts,
+                 point_axis)
     d_X = _solve_sym3(Hpp, gx - w) * p.mask_X[:, None]
 
     # predicted model gain 0.5 * (d^T (lam*D d + g))  (standard LM formula)
+    gain_x = jnp.sum(d_X * (lam * jnp.maximum(dpp, 1e-12) * d_X + gx))
+    if point_axis is None and axis is not None:
+        gain_x = jax.lax.psum(gain_x, axis)  # shard-local points
     gain = 0.5 * (
         jnp.sum(d_pose * (lam * dcc_p * d_pose + gp))
         + jnp.sum(d_intr * (lam * dcc_i * d_intr + gi))
-        + jnp.sum(d_X * (lam * jnp.maximum(dpp, 1e-12) * d_X + gx))
+        + gain_x
     )
     return d_pose, d_intr, d_X, gain
 
@@ -304,13 +324,16 @@ def _apply_step(p: BAProblem, d_pose, d_intr, d_X):
     )
 
 
-def lm_step_impl(p: BAProblem, lam, cfg: BAConfig, axis=None):
+def lm_step_impl(p: BAProblem, lam, cfg: BAConfig, axis=None,
+                 point_axis="same"):
     """One LM iteration: solve, tentative step, accept/reject, adapt lam.
     With `axis`, runs observation-sharded: per-shard J products, psum
-    reductions, replicated parameters (see parallel/dist_ba.py)."""
+    reductions, replicated parameters.  With point_axis=None on top, the
+    point blocks (X, Hpp) stay shard-local (see parallel/dist_ba.py)."""
     cost0 = robust_cost(p, cfg, axis)
     r, Jp6, Ji8, Jx3 = jacobians(p, cfg)
-    d_pose, d_intr, d_X, gain = schur_cg_solve(p, r, Jp6, Ji8, Jx3, lam, cfg, axis)
+    d_pose, d_intr, d_X, gain = schur_cg_solve(p, r, Jp6, Ji8, Jx3, lam, cfg,
+                                               axis, point_axis)
     p_new = _apply_step(p, d_pose, d_intr, d_X)
     cost1 = robust_cost(p_new, cfg, axis)
     accept = cost1 < cost0

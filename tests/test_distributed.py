@@ -56,3 +56,38 @@ def test_distributed_matching_pair_sharded(mesh8):
         jax.device_put(jnp.asarray(counts), repl), sharded_pairs)
     np.testing.assert_array_equal(np.asarray(ref.idx_b), np.asarray(out.idx_b))
     np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(out.mask))
+
+
+def test_point_sharded_ba_matches_single(mesh8):
+    """Camera+point block sharding: X/Hpp live only on their owner shard;
+    the solve must still match the single-device LM trajectory."""
+    s = ring_scene(n_views=8, n_points=61, seed=2)  # odd count -> padding
+    sc = scene_from_ring(s, noise_X=0.02, seed=3)
+    prob, maps = ba.problem_from_scene(sc)
+    cfg = ba.BAConfig(max_iterations=15)
+
+    p1, cost1, _ = ba.adjust(prob, cfg)
+    p2, cost2 = dist_ba.adjust_point_sharded(prob, mesh8, cfg)
+
+    assert abs(cost1 - cost2) / max(cost1, 1e-12) < 1e-6
+    np.testing.assert_allclose(np.asarray(p2.rotvec), np.asarray(p1.rotvec),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p2.X[: p1.X.shape[0]]),
+                               np.asarray(p1.X), atol=1e-7)
+
+
+def test_point_partition_roundtrip():
+    s = ring_scene(n_views=6, n_points=40, seed=0)
+    sc = scene_from_ring(s, seed=1)
+    prob, _ = ba.problem_from_scene(sc)
+    ps, meta = dist_ba.partition_by_point(prob, 8)
+    # every original observation is present exactly once with its pixel
+    orig = np.asarray(prob.obs_x)[np.asarray(prob.obs_w) > 0]
+    new = np.asarray(ps.obs_x)[np.asarray(ps.obs_w) > 0]
+    assert len(orig) == len(new)
+    np.testing.assert_allclose(np.sort(orig.ravel()), np.sort(new.ravel()))
+    # local ids stay within the shard block
+    opt = np.asarray(ps.obs_point)
+    assert opt.max() < meta["n_local"]
+    np.testing.assert_allclose(dist_ba.unpartition_X(ps.X, meta),
+                               np.asarray(prob.X))
