@@ -68,6 +68,13 @@ class _PtrIds:
 
 
 def save_sfm_data_json(scene: Scene, path: str, parts: int = ALL):
+    doc = _doc_from_scene(scene, parts)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    return True
+
+
+def _doc_from_scene(scene: Scene, parts: int = ALL):
     ids = _PtrIds()
     doc = {
         "sfm_data_version": "0.3",
@@ -139,9 +146,7 @@ def save_sfm_data_json(scene: Scene, path: str, parts: int = ALL):
             scene.cp_X, np.ones(len(scene.cp_X), bool), scene.cp_obs_landmark,
             scene.cp_obs_view, scene.cp_obs_x, scene.cp_obs_feat,
             np.ones(len(scene.cp_obs_landmark), bool))
-    with open(path, "w") as f:
-        json.dump(doc, f, indent=2)
-    return True
+    return doc
 
 
 def _landmarks_json(X, X_valid, ol, ov, ox, of, o_valid):
@@ -174,6 +179,10 @@ def _landmarks_json(X, X_valid, ol, ov, ox, of, o_valid):
 def load_sfm_data_json(path: str, parts: int = ALL) -> Scene:
     with open(path) as f:
         doc = json.load(f)
+    return _scene_from_doc(doc, parts)
+
+
+def _scene_from_doc(doc, parts: int = ALL) -> Scene:
     scene = Scene(root_path=doc.get("root_path", ""))
 
     if parts & VIEWS and doc.get("views"):
@@ -299,6 +308,10 @@ def load_sfm_data(path: str, parts: int = ALL) -> Optional[Scene]:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".json":
         return load_sfm_data_json(path, parts)
+    if ext == ".xml":
+        from openmvg_tpu.io.sfm_data_xml import load_sfm_data_xml
+
+        return load_sfm_data_xml(path, parts)
     if ext == ".bin":
         from openmvg_tpu.io.sfm_data_bin import load_sfm_data_bin
 
@@ -310,6 +323,10 @@ def save_sfm_data(scene: Scene, path: str, parts: int = ALL):
     ext = os.path.splitext(path)[1].lower()
     if ext == ".json":
         return save_sfm_data_json(scene, path, parts)
+    if ext == ".xml":
+        from openmvg_tpu.io.sfm_data_xml import save_sfm_data_xml
+
+        return save_sfm_data_xml(scene, path, parts)
     if ext == ".bin":
         from openmvg_tpu.io.sfm_data_bin import save_sfm_data_bin
 

@@ -118,3 +118,36 @@ def test_graph_utils():
     assert trip == {(0, 1, 2), (3, 4, 5)}
     assert len(graph.exhaustive_pairs(4)) == 6
     assert graph.contiguous_pairs(4, 1) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_sfm_data_xml_roundtrip(tmp_path):
+    """XML (cereal XMLOutputArchive shape) matches JSON structurally and
+    round-trips the scene."""
+    from openmvg_tpu.io.sfm_data import load_sfm_data, save_sfm_data
+    from openmvg_tpu.utils.synthetic import ring_scene
+    from tests.test_ba import scene_from_ring
+
+    s = ring_scene(n_views=5, n_points=30, seed=0)
+    sc = scene_from_ring(s, seed=1)
+    path = str(tmp_path / "sfm_data.xml")
+    assert save_sfm_data(sc, path)
+    txt = open(path).read()
+    assert txt.startswith('<?xml version="1.0" encoding="utf-8"?>')
+    assert "<cereal>" in txt and "<views size=" in txt
+    back = load_sfm_data(path)
+    assert back.n_views == sc.n_views
+    assert back.n_landmarks == sc.n_landmarks
+    np.testing.assert_allclose(back.pose_R, sc.pose_R, atol=1e-12)
+    np.testing.assert_allclose(back.pose_C, sc.pose_C, atol=1e-12)
+    np.testing.assert_allclose(back.X[back.X_valid], sc.X[sc.X_valid],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.sort(back.obs_x, axis=0),
+                               np.sort(sc.obs_x, axis=0), atol=1e-12)
+    assert back.view_filename == sc.view_filename
+
+    # cross-format equivalence: xml -> json -> xml preserves the doc
+    jpath = str(tmp_path / "sfm_data.json")
+    save_sfm_data(back, jpath)
+    back2 = load_sfm_data(jpath)
+    np.testing.assert_allclose(back2.X[back2.X_valid], sc.X[sc.X_valid],
+                               atol=1e-12)
