@@ -636,9 +636,21 @@ def cmd_bench_ann(args):
     return 0
 
 
+def cmd_scaling_bench(args):
+    """Scaling-efficiency harness over mesh prefixes (BASELINE #3)."""
+    from openmvg_tpu.parallel.scaling_bench import measure_matching_scaling
+
+    sizes = tuple(int(s) for s in args.mesh_sizes.split(","))
+    res = measure_matching_scaling(n_views=args.n_views, mesh_sizes=sizes)
+    print(json.dumps(res, indent=1))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="openmvg_tpu",
                                  description=__doc__.splitlines()[0])
+    ap.add_argument("--profile", default="",
+                    help="directory for a jax profiler trace of the command")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("init")
@@ -805,9 +817,20 @@ def main(argv=None):
     p.add_argument("--noise", type=float, default=4.0)
     p.set_defaults(fn=cmd_bench_ann)
 
+    p = sub.add_parser("scaling-bench")
+    p.add_argument("-n", "--n_views", type=int, default=8)
+    p.add_argument("-s", "--mesh_sizes", default="1,2,4,8")
+    p.set_defaults(fn=cmd_scaling_bench)
+
     args = ap.parse_args(argv)
     _enable_compilation_cache()
     try:
+        if getattr(args, "profile", None):
+            import jax
+
+            os.makedirs(args.profile, exist_ok=True)
+            with jax.profiler.trace(args.profile):
+                return args.fn(args)
         return args.fn(args)
     except FileNotFoundError as e:
         print(f"error: file not found: {e.filename or e}", file=sys.stderr)

@@ -91,3 +91,24 @@ def test_point_partition_roundtrip():
     assert opt.max() < meta["n_local"]
     np.testing.assert_allclose(dist_ba.unpartition_X(ps.X, meta),
                                np.asarray(prob.X))
+
+
+def test_scaling_harness_runs(mesh8):
+    """Scaling-efficiency harness (BASELINE north-star #3 machinery) runs
+    and reports efficiency fields on the virtual mesh."""
+    from openmvg_tpu.parallel import scaling_bench
+
+    s = ring_scene(n_views=6, n_points=48, seed=0)
+    sc = scene_from_ring(s, noise_X=0.01, seed=1)
+    prob, _ = ba.problem_from_scene(sc)
+    cfg = ba.BAConfig(max_iterations=1, cg_iterations=8)
+    res = scaling_bench.measure_ba_scaling(prob, cfg, mesh_sizes=(1, 2),
+                                           reps=1)
+    assert set(res) == {1, 2}
+    for n, row in res.items():
+        assert row["seconds"] > 0 and row["efficiency"] > 0
+    assert res[1]["efficiency"] == 1.0
+
+    res_m = scaling_bench.measure_matching_scaling(
+        n_views=5, n_feats=256, mesh_sizes=(1, 2), reps=1)
+    assert set(res_m) == {1, 2} and res_m[1]["efficiency"] == 1.0
