@@ -636,6 +636,41 @@ def cmd_bench_ann(args):
     return 0
 
 
+def cmd_retrieval_quality(args):
+    """main_MatchingRetrievalQuality.cpp: recall/precision of a putative
+    pair list against GT pairs (from a matches file, or from landmark
+    co-visibility in the scene)."""
+    gt_pairs = set()
+    if args.gt_matches:
+        from openmvg_tpu.io.matches_io import load_matches
+
+        for (i, j) in load_matches(args.gt_matches):
+            gt_pairs.add((min(i, j), max(i, j)))
+    else:
+        scene = _load_scene(args.input_file)
+        ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
+        by_lm = {}
+        for idx in np.nonzero(ok)[0]:
+            by_lm.setdefault(int(scene.obs_landmark[idx]), set()).add(
+                int(scene.obs_view[idx]))
+        for views in by_lm.values():
+            vs = sorted(views)
+            for a in range(len(vs)):
+                for b in range(a + 1, len(vs)):
+                    gt_pairs.add((vs[a], vs[b]))
+    putative = {(min(i, j), max(i, j)) for i, j in load_pairs_file(args.pair_file)}
+    tp = len(gt_pairs & putative)
+    fn = len(gt_pairs) - tp
+    fp = len(putative) - tp
+    out = {
+        "gt_pairs": len(gt_pairs), "putative_pairs": len(putative),
+        "true_positive": tp, "false_negative": fn, "false_positive": fp,
+        "recall": tp / max(tp + fn, 1), "precision": tp / max(tp + fp, 1),
+    }
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def cmd_scaling_bench(args):
     """Scaling-efficiency harness over mesh prefixes (BASELINE #3)."""
     from openmvg_tpu.parallel.scaling_bench import measure_matching_scaling
@@ -816,6 +851,12 @@ def main(argv=None):
     p.add_argument("-r", "--ratio", type=float, default=0.8)
     p.add_argument("--noise", type=float, default=4.0)
     p.set_defaults(fn=cmd_bench_ann)
+
+    p = sub.add_parser("retrieval-quality")
+    p.add_argument("-i", "--input_file", default="")
+    p.add_argument("-p", "--pair_file", required=True)
+    p.add_argument("-g", "--gt_matches", default="")
+    p.set_defaults(fn=cmd_retrieval_quality)
 
     p = sub.add_parser("scaling-bench")
     p.add_argument("-n", "--n_views", type=int, default=8)

@@ -88,3 +88,21 @@ def test_matches_roundtrip_tools(tmp_path):
     p1 = load_matches(str(tmp_path / "split_1.bin"))
     assert {(0, 1), (1, 2)} in (set(p0), set(p1))
     assert {(3, 4), (4, 5)} in (set(p0), set(p1))
+
+
+def test_retrieval_quality(tmp_path, capsys):
+    sp, mp = _setup(tmp_path)
+    # putative pairs: 2 co-visible + 1 junk
+    pf = str(tmp_path / "pairs.txt")
+    open(pf, "w").write("0 1\n1 2\n0 5\n")
+    assert main(["retrieval-quality", "-i", sp, "-p", pf]) == 0
+    out = json.loads(capsys.readouterr().out)
+    # ring scene: all view pairs co-observe points -> gt = 15 pairs
+    assert out["gt_pairs"] == 15
+    assert out["true_positive"] == 3 and out["false_positive"] == 0
+    assert abs(out["recall"] - 3 / 15) < 1e-9 and out["precision"] == 1.0
+
+    # GT from a matches file instead
+    assert main(["retrieval-quality", "-p", pf, "-g", mp]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["gt_pairs"] == 4 and out["true_positive"] == 2
