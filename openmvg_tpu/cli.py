@@ -98,7 +98,8 @@ def cmd_features(args):
             continue
         img = read_image(os.path.join(scene.root_path, name), grayscale=True)
         feats, descs = describe_image(img, args.describerMethod,
-                                      args.describerPreset)
+                                      args.describerPreset,
+                                      upright=args.upright)
         save_feats(featp, feats)
         save_descs(descp, descs)
         print(f"  {name}: {len(feats)} features")
@@ -170,17 +171,38 @@ def cmd_matches(args):
         kw["proj"] = matching.make_hash_projections(jax.random.PRNGKey(0))
         kw["mean"] = jnp.asarray(stack[0, :max(counts[0], 1)].mean(0),
                                  jnp.float32)
-    out = {}
-    B = 16
+
+    def run_pairs(d_j, c_j, pair_list):
+        res_out = {}
+        B = 16
+        for s in range(0, len(pair_list), B):
+            chunk = pair_list[s:s + B]
+            pad = chunk + [chunk[-1]] * (B - len(chunk))
+            res = matching.match_pair_batch(
+                d_j, c_j, jnp.asarray(pad, jnp.int32),
+                ratio=args.ratio, method=method, **kw)
+            res_out.update(matching.matches_to_dict(
+                np.asarray(pad)[: len(chunk)], res))
+        return res_out
+
     t0 = time.time()
-    for s in range(0, len(pairs), B):
-        chunk = pairs[s:s + B]
-        pad = chunk + [chunk[-1]] * (B - len(chunk))
-        res = matching.match_pair_batch(
-            descs_j, counts_j, jnp.asarray(pad, jnp.int32),
-            ratio=args.ratio, method=method, **kw)
-        out.update(matching.matches_to_dict(np.asarray(pad)[: len(chunk)],
-                                            res))
+    if args.preemptive_count:
+        # preemptive pair pruning (main_ComputeMatches.cpp:55-57,185-187,328):
+        # match the k largest-scale features, keep pairs above 8% of k
+        k = args.preemptive_count
+        kpad = 1 << int(np.ceil(np.log2(max(k, 64))))
+        pstack = np.zeros((V, kpad, 128), np.uint8)
+        pcounts = np.zeros(V, np.int32)
+        for v in range(V):
+            fs, ds = matching.preemptive_subset(feats[v], descs[v], k)
+            pstack[v, : len(ds)] = ds
+            pcounts[v] = len(ds)
+        pre = run_pairs(jnp.asarray(pstack), jnp.asarray(pcounts), pairs)
+        thr = 0.08 * k
+        pairs = [pq for pq, m in pre.items() if len(m) >= thr]
+        print(f"preemptive: kept {len(pairs)} pairs "
+              f"(>= {thr:.0f} of {k} feats matched)")
+    out = run_pairs(descs_j, counts_j, pairs)
     save_matches(out, args.output_file)
     n_m = sum(len(m) for m in out.values())
     print(f"{len(out)} matched pairs, {n_m} putative matches "
@@ -702,6 +724,7 @@ def main(argv=None):
     p.add_argument("-o", "--outdir", required=True)
     p.add_argument("-m", "--describerMethod", default="SIFT")
     p.add_argument("-p", "--describerPreset", default="NORMAL")
+    p.add_argument("-u", "--upright", action="store_true")
     p.add_argument("-f", "--force", action="store_true")
     p.set_defaults(fn=cmd_features)
 
@@ -719,6 +742,7 @@ def main(argv=None):
     p.add_argument("-d", "--matchdir", default=None)
     p.add_argument("-r", "--ratio", type=float, default=0.8)
     p.add_argument("-n", "--nearest_matching_method", default="AUTO")
+    p.add_argument("-P", "--preemptive_count", type=int, default=0)
     p.set_defaults(fn=cmd_matches)
 
     p = sub.add_parser("filter")

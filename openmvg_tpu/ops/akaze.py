@@ -37,6 +37,7 @@ class AkazeConfig(NamedTuple):
     threshold: float = DET_THRESHOLD
     max_per_octave: int = 512
     descriptor: str = "MSURF"  # or "MLDB"
+    upright: bool = False      # -u: keep descriptors in the image frame
 
 
 def _fed_tau_series(T, tau_max=0.25):
@@ -271,7 +272,8 @@ def extract(image, cfg: AkazeConfig = AkazeConfig()):
         kp = _detect_octave(stack, sigma_tab[o], delta, cfg)
         gy, gx = jnp.gradient(stack, axis=(-2, -1))
         sigma_pix = jnp.asarray(sigma_tab[o], jnp.float32)[kp["level"]] / delta
-        theta = _orientation(gx, gy, kp["level"], kp["y"], kp["x"], sigma_pix)
+        theta = (jnp.zeros_like(kp["x"]) if cfg.upright else
+                 _orientation(gx, gy, kp["level"], kp["y"], kp["x"], sigma_pix))
         if cfg.descriptor == "MSURF":
             desc = _msurf_descriptor(gx, gy, kp["level"], kp["y"], kp["x"],
                                      sigma_pix, theta)
@@ -289,9 +291,10 @@ def extract(image, cfg: AkazeConfig = AkazeConfig()):
 
 
 def extract_to_numpy(image, method="AKAZE_FLOAT", max_features=8192,
-                     cfg: AkazeConfig = None):
+                     cfg: AkazeConfig = None, upright=False):
     if cfg is None:
-        cfg = AkazeConfig(descriptor="MLDB" if "MLDB" in method else "MSURF")
+        cfg = AkazeConfig(descriptor="MLDB" if "MLDB" in method else "MSURF",
+                          upright=upright)
     f = extract(jnp.asarray(image, jnp.float32), cfg)
     mask = np.asarray(f["mask"])
     idx = np.nonzero(mask)[0]

@@ -323,8 +323,8 @@ def _descriptors(gx, gy, kp, theta, cfg: SiftConfig):
     return jax.vmap(one)(kp["level"], kp["y"], kp["x"], kp["sigma_rel"], theta)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def extract(image, cfg: SiftConfig = SiftConfig()):
+@partial(jax.jit, static_argnames=("cfg", "upright"))
+def extract(image, cfg: SiftConfig = SiftConfig(), upright=False):
     """Full SIFT on one grayscale image (H, W) float32 in [0, 1].
 
     Returns SiftFeatures with K = n_octaves * max_per_octave * 2 slots.
@@ -335,8 +335,16 @@ def extract(image, cfg: SiftConfig = SiftConfig()):
         delta = 2.0 ** o
         kp = _detect_octave(stack, cfg, o)
         gy, gx = jnp.gradient(stack, axis=(-2, -1))
-        theta, ok_theta = _orientations(gx, gy, kp, cfg)
-        for slot in range(2):
+        if upright:
+            # -u/--upright (main_ComputeFeatures.cpp:81): descriptors in the
+            # image frame, single slot, orientation fixed to 0
+            theta = jnp.zeros((kp["x"].shape[0], 1), image.dtype)
+            ok_theta = jnp.ones_like(theta, bool)
+            n_slots = 1
+        else:
+            theta, ok_theta = _orientations(gx, gy, kp, cfg)
+            n_slots = 2
+        for slot in range(n_slots):
             th = theta[:, slot]
             desc = _descriptors(gx, gy, kp, th, cfg)
             mask = kp["valid"] & ok_theta[:, slot]
@@ -351,10 +359,11 @@ def extract(image, cfg: SiftConfig = SiftConfig()):
                           for n in SiftFeatures._fields])
 
 
-def extract_to_numpy(image, cfg: SiftConfig = SiftConfig(), max_features=None):
+def extract_to_numpy(image, cfg: SiftConfig = SiftConfig(), max_features=None,
+                     upright=False):
     """Host convenience: run extract, compact to valid rows, sort by scale
     (descending response)."""
-    f = extract(jnp.asarray(image, jnp.float32), cfg)
+    f = extract(jnp.asarray(image, jnp.float32), cfg, upright=upright)
     mask = np.asarray(f.mask)
     idx = np.nonzero(mask)[0]
     order = idx[np.argsort(-np.asarray(f.response)[idx], kind="stable")]

@@ -33,15 +33,20 @@ def make_config(method="SIFT", preset="NORMAL", max_features=8192,
 
 
 def describe_image(gray_image, method="SIFT", preset="NORMAL",
-                   max_features=8192):
-    """(H, W) float [0,1] -> (feats (N,4) [x y scale ori], descs (N,128) u8)."""
+                   max_features=8192, upright=False):
+    """(H, W) float [0,1] -> (feats (N,4) [x y scale ori], descs (N,128) u8).
+
+    upright: -u flag parity (main_ComputeFeatures.cpp:81) — descriptors in
+    the image frame (orientation fixed to 0, one slot per keypoint)."""
     method = method.upper()
     if method in ("SIFT", "SIFT_ANATOMY"):
         cfg = make_config(method, preset, max_features, gray_image.shape)
-        return sift.extract_to_numpy(gray_image, cfg, max_features=max_features)
+        return sift.extract_to_numpy(gray_image, cfg, max_features=max_features,
+                                     upright=upright)
     if method.startswith("AKAZE"):
         from openmvg_tpu.ops import akaze
 
         return akaze.extract_to_numpy(gray_image, method=method,
-                                      max_features=max_features)
+                                      max_features=max_features,
+                                      upright=upright)
     raise ValueError(f"unknown describer method {method}")

@@ -48,3 +48,14 @@ def test_akaze_mldb_binary():
     assert descs.dtype == np.uint8
     assert descs.shape[1] == 60
     assert len(feats) > 0
+
+
+def test_akaze_upright():
+    from openmvg_tpu.ops import akaze as ak
+
+    rng = np.random.default_rng(0)
+    from scipy import ndimage
+    img = ndimage.gaussian_filter(
+        rng.uniform(0, 1, (128, 128)), 2.0).astype(np.float32)
+    feats, descs = ak.extract_to_numpy(img, max_features=64, upright=True)
+    assert np.all(feats[:, 3] == 0.0)

@@ -93,3 +93,14 @@ def test_feat_desc_roundtrip_files(tmp_path):
     d2 = features_io.load_descs(str(tmp_path / "i.desc"))
     np.testing.assert_allclose(f2, feats, atol=1e-6)
     np.testing.assert_array_equal(d2, descs)
+
+
+def test_upright_extraction():
+    """-u parity: orientations fixed to 0, one slot per keypoint, blob
+    still detected."""
+    img = blob_image(blobs=[(40.0, 50.0, 4.0), (90.0, 80.0, 8.0)])
+    feats, descs = sift.extract_to_numpy(img, CFG, upright=True)
+    assert len(feats) > 0
+    assert np.all(feats[:, 3] == 0.0)
+    d = np.linalg.norm(feats[:, :2] - [50.0, 40.0], axis=1)
+    assert (d < 3.0).any()
