@@ -658,6 +658,49 @@ def cmd_bench_ann(args):
     return 0
 
 
+def cmd_pipeline(args):
+    """Layer-10 drivers (SfM_SequentialPipeline.py.in /
+    SfM_GlobalPipeline.py.in): chain listing -> features -> pairs ->
+    matches -> filter -> sfm -> color in one command."""
+    out = args.output_dir
+    matches_dir = os.path.join(out, "matches")
+    recon_name = ("reconstruction_sequential"
+                  if args.sfm_engine.upper() != "GLOBAL"
+                  else "reconstruction_global")
+    recon_dir = os.path.join(out, recon_name)
+    os.makedirs(matches_dir, exist_ok=True)
+    sfm_json = os.path.join(out, "sfm_data.json")
+    stages = [
+        ["init", "-i", args.imageDirectory, "-o", out]
+        + (["-f", str(args.focal)] if args.focal else [])
+        + ["-c", str(args.camera_model)],
+        ["features", "-i", sfm_json, "-o", matches_dir,
+         "-m", args.describerMethod, "-p", args.describerPreset],
+        ["pairs", "-i", sfm_json,
+         "-o", os.path.join(matches_dir, "pairs.txt")],
+        ["matches", "-i", sfm_json,
+         "-o", os.path.join(matches_dir, "matches.putative.bin"),
+         "-p", os.path.join(matches_dir, "pairs.txt"), "-r", str(args.ratio)],
+        ["filter", "-i", sfm_json,
+         "-m", os.path.join(matches_dir, "matches.putative.bin"),
+         "-o", os.path.join(matches_dir, "matches.f.bin"),
+         "-g", "f" if args.sfm_engine.upper() != "GLOBAL" else "e"],
+        ["sfm", "-i", sfm_json, "-m", matches_dir,
+         "-M", os.path.join(matches_dir, "matches.f.bin"),
+         "-o", recon_dir, "-s", args.sfm_engine],
+        ["color", "-i", os.path.join(recon_dir, "sfm_data.json"),
+         "-o", os.path.join(recon_dir, "colorized.ply")],
+    ]
+    for stage in stages:
+        print(f"=== openmvg_tpu {' '.join(stage)}")
+        rc = main(stage)
+        if rc != 0:
+            print(f"pipeline stage {stage[0]} failed", file=sys.stderr)
+            return rc
+    print(f"pipeline complete -> {recon_dir}")
+    return 0
+
+
 def cmd_retrieval_quality(args):
     """main_MatchingRetrievalQuality.cpp: recall/precision of a putative
     pair list against GT pairs (from a matches file, or from landmark
@@ -875,6 +918,17 @@ def main(argv=None):
     p.add_argument("-r", "--ratio", type=float, default=0.8)
     p.add_argument("--noise", type=float, default=4.0)
     p.set_defaults(fn=cmd_bench_ann)
+
+    p = sub.add_parser("pipeline")
+    p.add_argument("-i", "--imageDirectory", required=True)
+    p.add_argument("-o", "--output_dir", required=True)
+    p.add_argument("-s", "--sfm_engine", default="INCREMENTAL")
+    p.add_argument("-f", "--focal", type=float, default=0.0)
+    p.add_argument("-c", "--camera_model", type=int, default=3)
+    p.add_argument("-m", "--describerMethod", default="SIFT")
+    p.add_argument("-p", "--describerPreset", default="NORMAL")
+    p.add_argument("-r", "--ratio", type=float, default=0.8)
+    p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("retrieval-quality")
     p.add_argument("-i", "--input_file", default="")

@@ -16,6 +16,8 @@ from tests.test_incremental import scene_and_data
     (G.ROTATION_AVERAGING_L2, G.TRANSLATION_AVERAGING_SOFTL1),
     (G.ROTATION_AVERAGING_L1, G.TRANSLATION_AVERAGING_SOFTL1),
     (G.ROTATION_AVERAGING_L2, G.TRANSLATION_AVERAGING_L2_CHORDAL),
+    (G.ROTATION_AVERAGING_L1, G.TRANSLATION_AVERAGING_L1),
+    (G.ROTATION_AVERAGING_L2, G.TRANSLATION_AVERAGING_L1),
 ])
 def test_global_sfm(rot, trans):
     s = ring_scene(n_views=8, n_points=120, seed=0)
