@@ -84,11 +84,15 @@ def compute_relative_poses(scene, index, pairs, cfg, key):
         Kb = np.asarray(cm.K_matrix(jnp.asarray(
             scene.cameras.params[scene.view_intrinsic[vb]])))
         wh = scene.view_wh[vb]
+        angular = (
+            int(scene.cameras.kind[scene.view_intrinsic[va]]) == cm.SPHERICAL
+            or int(scene.cameras.kind[scene.view_intrinsic[vb]]) == cm.SPHERICAL)
         info = robust.robust_relative_pose(
             jax.random.fold_in(key, n_pair), jnp.asarray(ba_p),
             jnp.asarray(bb_p), jnp.asarray(xa_p), jnp.asarray(xb_p),
             jnp.asarray(Ka), jnp.asarray(Kb), jnp.asarray(valid),
-            float(wh[0]), float(wh[1]), n_samples=cfg.ransac_samples)
+            float(wh[0]), float(wh[1]), n_samples=cfg.ransac_samples,
+            angular=angular)
         if not bool(info.found):
             continue
         inl = np.asarray(info.inliers)[:n]

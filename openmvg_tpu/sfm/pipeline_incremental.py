@@ -130,11 +130,15 @@ def _try_pair(scene, index, cfg, key, va, vb):
     Ka = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid_a])))
     Kb = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid_b])))
     wh_b = scene.view_wh[vb]
+    # non-pinhole (spherical) pairs take the angular 8-pt path
+    # (sfm_robust_model_estimation.cpp:29-120)
+    angular = (int(scene.cameras.kind[iid_a]) == cm.SPHERICAL
+               or int(scene.cameras.kind[iid_b]) == cm.SPHERICAL)
     info = robust.robust_relative_pose(
         key, jnp.asarray(ba_p), jnp.asarray(bb_p), jnp.asarray(xa_p),
         jnp.asarray(xb_p), jnp.asarray(Ka), jnp.asarray(Kb),
         jnp.asarray(valid), float(wh_b[0]), float(wh_b[1]),
-        n_samples=cfg.ransac_samples)
+        n_samples=cfg.ransac_samples, angular=angular)
     if not bool(info.found):
         return None
     inl = np.asarray(info.inliers)[:n]
@@ -370,10 +374,15 @@ def _resect_view(scene, index, v, landmark_of_track, cfg, key):
     iid = scene.view_intrinsic[v]
     K = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid])))
     wh = scene.view_wh[v]
-    res = robust.robust_resection_p3p(
-        key, jnp.asarray(b_p), jnp.asarray(xy_p), jnp.asarray(X_p),
-        jnp.asarray(K), jnp.asarray(valid), float(wh[0]), float(wh[1]),
-        n_samples=cfg.resection_samples)
+    if int(scene.cameras.kind[iid]) == cm.SPHERICAL:
+        res = robust.robust_resection_angular(
+            key, jnp.asarray(b_p), jnp.asarray(X_p), jnp.asarray(valid),
+            n_samples=cfg.resection_samples)
+    else:
+        res = robust.robust_resection_p3p(
+            key, jnp.asarray(b_p), jnp.asarray(xy_p), jnp.asarray(X_p),
+            jnp.asarray(K), jnp.asarray(valid), float(wh[0]), float(wh[1]),
+            n_samples=cfg.resection_samples)
     n_inl = int(np.asarray(res.inliers)[:n].sum())
     if not bool(res.found) or n_inl < cfg.min_resection_inliers_factor * 3:
         return False

@@ -162,6 +162,36 @@ def robust_essential_angular(key, b1, b2, valid,
         max_models=1, n_samples=n_samples, precision_sq=precision_sq)
 
 
+def robust_resection_angular(key, bearings, X3d, valid,
+                             n_samples=1024, precision_sq=jnp.inf):
+    """AC-RANSAC P3P with angular reprojection error — the spherical
+    resection path (solver_resection_metrics.hpp angular metric;
+    SfM_Localizer dispatch for non-pinhole cameras)."""
+    def fit(sub):
+        b, X = sub
+        R, t, ok = resection.solve_p3p(b, X)
+        return (R, t), ok
+
+    def err(model, data):
+        R, t = model
+        b, X = data
+        d = X @ R.T + t
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
+        cos = jnp.clip(jnp.sum(d * b, axis=-1), -1.0, 1.0)
+        ang = jnp.arccos(cos)
+        return ang * ang
+
+    return ransac.ac_ransac(
+        key, fit, err, (bearings, X3d), valid, min_samples=3,
+        logalpha0=ransac.LOGALPHA0_ANGULAR,
+        mult_error=ransac.MULT_ERROR_ANGULAR,
+        max_models=4, n_samples=n_samples, precision_sq=precision_sq)
+
+
+robust_resection_angular = partial(jax.jit, static_argnames=("n_samples",))(
+    robust_resection_angular)
+
+
 # ---------------------------------------------------------------------------
 # robustRelativePose
 # ---------------------------------------------------------------------------
