@@ -98,10 +98,15 @@ def localize_image(db: LandmarkDB, query_feats, query_descs, K, w, h,
     n = len(x2d)
     (x_p, b_p, X_p), k = _pad_pow2([x2d, b, X3d], n)
     valid = np.arange(k) < n
-    out = robust.robust_resection_p3p(
-        jax.random.PRNGKey(seed), jnp.asarray(b_p), jnp.asarray(x_p),
-        jnp.asarray(X_p), jnp.asarray(K), jnp.asarray(valid),
-        float(w), float(h), n_samples=n_samples)
+    if int(kind) == cm.SPHERICAL:
+        out = robust.robust_resection_angular(
+            jax.random.PRNGKey(seed), jnp.asarray(b_p), jnp.asarray(X_p),
+            jnp.asarray(valid), n_samples=n_samples)
+    else:
+        out = robust.robust_resection_p3p(
+            jax.random.PRNGKey(seed), jnp.asarray(b_p), jnp.asarray(x_p),
+            jnp.asarray(X_p), jnp.asarray(K), jnp.asarray(valid),
+            float(w), float(h), n_samples=n_samples)
     inl = np.asarray(out.inliers)[:n]
     if not bool(out.found) or inl.sum() < 8:
         return LocalizationResult(False, None, None, int(inl.sum()), 0.0)
