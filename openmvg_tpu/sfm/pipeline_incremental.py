@@ -83,15 +83,37 @@ class _TrackIndex:
         return self._by_view.get(int(v), np.zeros(0, np.int64))
 
 
+_bearing_jit = jax.jit(cm.bearing)
+
+
 def _bearings(scene, view_ids, xy):
+    """Pixel -> unit bearing, jitted on pow2-padded shapes.
+
+    cm.bearing runs a fixed-iteration undistortion loop; tracing it eagerly
+    per call dominated engine wall-clock (hundreds of tiny dispatches), so
+    pad to the same pow2 buckets the robust estimators use and hit one
+    compiled executable per bucket."""
     iid = scene.view_intrinsic[view_ids]
     cams = scene.cameras
-    b = cm.bearing(jnp.asarray(np.asarray(cams.kind)[iid]),
-                   jnp.asarray(np.asarray(cams.params)[iid]),
-                   jnp.asarray(np.asarray(cams.width)[iid]),
-                   jnp.asarray(np.asarray(cams.height)[iid]),
-                   jnp.asarray(xy))
-    return np.asarray(b)
+    n = len(xy)
+    k = 64
+    while k < n:
+        k *= 2
+    pad = k - n
+
+    def padded(a):
+        a = np.asarray(a)
+        if pad == 0:
+            return a
+        fill = a[-1:] if len(a) else np.zeros((1,) + a.shape[1:], a.dtype)
+        return np.concatenate([a, np.repeat(fill, pad, axis=0)])
+
+    b = _bearing_jit(jnp.asarray(padded(np.asarray(cams.kind)[iid])),
+                     jnp.asarray(padded(np.asarray(cams.params)[iid])),
+                     jnp.asarray(padded(np.asarray(cams.width)[iid])),
+                     jnp.asarray(padded(np.asarray(cams.height)[iid])),
+                     jnp.asarray(padded(xy)))
+    return np.asarray(b)[:n]
 
 
 def _pad_pow2(arrs, n, lo=64):
