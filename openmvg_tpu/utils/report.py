@@ -99,3 +99,48 @@ def svg_matches(wh_a, wh_b, feats_a, feats_b, matches, path):
     with open(path, "w") as fo:
         fo.write("".join(parts))
     return True
+
+
+def svg_tracks(wh_a, wh_b, feats_a, feats_b, track_rows, path):
+    """Track visualization across an image pair (export/main_exportTracks.cpp):
+    one colored polyline + endpoint circles per track.
+
+    track_rows: iterable of (feat_id_a, feat_id_b)."""
+    wa, ha = wh_a
+    wb, hb = wh_b
+    W, H = wa + wb, max(ha, hb)
+    rng = np.random.default_rng(0)
+    parts = [f'<svg width="{W}" height="{H}" '
+             f'xmlns="http://www.w3.org/2000/svg">',
+             f'<rect width="{wa}" height="{ha}" fill="#222"/>',
+             f'<rect x="{wa}" width="{wb}" height="{hb}" fill="#333"/>']
+    for i, j in np.asarray(track_rows):
+        xa, ya = feats_a[int(i)][:2]
+        xb, yb = feats_b[int(j)][:2]
+        col = "#%02x%02x%02x" % tuple(rng.integers(64, 255, 3))
+        parts.append(f'<line x1="{xa:.1f}" y1="{ya:.1f}" '
+                     f'x2="{wa + xb:.1f}" y2="{yb:.1f}" '
+                     f'stroke="{col}" stroke-width="0.7"/>')
+        parts.append(f'<circle cx="{xa:.1f}" cy="{ya:.1f}" r="2" '
+                     f'stroke="{col}" fill="none"/>')
+        parts.append(f'<circle cx="{wa + xb:.1f}" cy="{yb:.1f}" r="2" '
+                     f'stroke="{col}" fill="none"/>')
+    parts.append("</svg>")
+    with open(path, "w") as fo:
+        fo.write("".join(parts))
+    return True
+
+
+def export_pose_graph_dot(pairs, path, weights=None):
+    """Graphviz export of the view/pose adjacency graph
+    (graph/graph_graphviz_export.hpp, used by the global engine)."""
+    lines = ["graph pose_graph {"]
+    for k, (i, j) in enumerate(pairs):
+        attr = ""
+        if weights is not None:
+            attr = f' [label="{weights[k]}"]'
+        lines.append(f"  n{int(i)} -- n{int(j)}{attr};")
+    lines.append("}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return True

@@ -109,3 +109,19 @@ def test_localization_and_known_poses():
     from openmvg_tpu.sfm.scene import rmse
 
     assert rmse(sc2) < 0.2
+
+
+def test_svg_tracks_and_pose_graph_dot(tmp_path):
+    from openmvg_tpu.utils.report import export_pose_graph_dot, svg_tracks
+
+    fa = np.array([[10.0, 20.0], [30.0, 40.0]])
+    fb = np.array([[15.0, 25.0], [35.0, 45.0]])
+    p = str(tmp_path / "tracks.svg")
+    assert svg_tracks((100, 80), (100, 80), fa, fb, [(0, 0), (1, 1)], p)
+    txt = open(p).read()
+    assert txt.count("<line") == 2 and txt.count("<circle") == 4
+
+    d = str(tmp_path / "graph.dot")
+    assert export_pose_graph_dot([(0, 1), (1, 2)], d, weights=[10, 20])
+    dot = open(d).read()
+    assert "n0 -- n1" in dot and 'label="20"' in dot
