@@ -248,12 +248,22 @@ def cmd_sfm(args):
         from openmvg_tpu.sfm.pipeline_incremental import (IncrementalConfig,
                                                           incremental_sfm)
 
-        cfg = IncrementalConfig(verbose=True, refine_intrinsics=refine)
+        initial_pair = None
+        if args.initial_pair_a and args.initial_pair_b:
+            # -a/-b take view filenames (main_SfM.cpp); resolve to ids
+            names = [os.path.basename(n) for n in scene.view_filename]
+            initial_pair = (names.index(os.path.basename(args.initial_pair_a)),
+                            names.index(os.path.basename(args.initial_pair_b)))
+        cfg = IncrementalConfig(verbose=True, refine_intrinsics=refine,
+                                initializer=args.sfm_initializer,
+                                initial_pair=initial_pair)
         incremental_sfm(scene, feats, matches, cfg)
     elif engine == "GLOBAL":
         from openmvg_tpu.sfm.pipeline_global import GlobalConfig, global_sfm
 
-        cfg = GlobalConfig(verbose=True, refine_intrinsics=refine)
+        cfg = GlobalConfig(verbose=True, refine_intrinsics=refine,
+                           rotation_averaging=args.rotationAveraging,
+                           translation_averaging=args.translationAveraging)
         global_sfm(scene, feats, matches, cfg)
     elif engine == "STELLAR":
         from openmvg_tpu.sfm.pipeline_stellar import StellarConfig, stellar_sfm
@@ -803,6 +813,11 @@ def main(argv=None):
     p.add_argument("-o", "--output_dir", required=True)
     p.add_argument("-s", "--sfm_engine", default="INCREMENTAL")
     p.add_argument("-f", "--refine_intrinsic_config", default="ADJUST_ALL")
+    p.add_argument("-a", "--initial_pair_a", default="")
+    p.add_argument("-b", "--initial_pair_b", default="")
+    p.add_argument("-S", "--sfm_initializer", default="AUTO_PAIR")
+    p.add_argument("-R", "--rotationAveraging", type=int, default=2)
+    p.add_argument("-T", "--translationAveraging", type=int, default=3)
     p.add_argument("--output_format", default="json")
     p.set_defaults(fn=cmd_sfm)
 
