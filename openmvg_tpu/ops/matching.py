@@ -55,13 +55,23 @@ def l2_distance_matrix(a, b, precision=None):
         bn = jnp.sum(b32 * b32, axis=-1)
         d = an[..., :, None] + bn[..., None, :] - 2 * cross
         return d.astype(jnp.float32)
+    u8_exact_bf16 = a.dtype == jnp.uint8 and b.dtype == jnp.uint8
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     an = jnp.sum(a * a, axis=-1, keepdims=True)
     bn = jnp.sum(b * b, axis=-1, keepdims=True)
-    cross = jax.lax.dot_general(
-        a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if u8_exact_bf16:
+        # u8 values fit bf16's 8 significand bits exactly and the f32
+        # accumulator stays < 2^24, so the double-rate bf16 MXU path is
+        # bit-identical to f32 for uint8 descriptors
+        cross = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        cross = jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return jnp.maximum(an + jnp.swapaxes(bn, -1, -2) - 2.0 * cross, 0.0)
 
 
