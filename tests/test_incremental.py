@@ -5,6 +5,7 @@ alignment."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openmvg_tpu.geometry.similarity import find_rts
 from openmvg_tpu.models import cameras as cm
@@ -67,3 +68,17 @@ def test_incremental_pipeline_noisy():
     assert int(sc.pose_valid.sum()) == s.n_views
     # injected noise is 0.4 px/axis -> residual-norm floor ~0.57 px
     assert rmse(sc) < 0.7
+
+
+@pytest.mark.slow
+def test_incremental_24_views_noisy():
+    """Scale check: 24 cameras, 400 points, 0.3px noise — all poses
+    recovered, sub-pixel rmse."""
+    s = ring_scene(n_views=24, n_points=400, seed=0)
+    sc, feats, matches = scene_and_data(s, noise_px=0.3)
+    cfg = IncrementalConfig(ransac_samples=512, resection_samples=512,
+                            min_init_inliers=40, ba_iterations=10)
+    incremental_sfm(sc, feats, matches, cfg, seed=0)
+    assert int(sc.pose_valid.sum()) == 24
+    assert sc.n_landmarks > 350
+    assert rmse(sc) < 0.6
