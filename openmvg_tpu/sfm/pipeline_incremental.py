@@ -54,6 +54,9 @@ class IncrementalConfig:
     verbose: bool = False
     max_candidate_pairs: int = 20
     dtype: object = jnp.float64
+    # per-round artifact dumps (sequential_SfM.cpp:200-203 PLY dumps +
+    # the npz snapshot = checkpoint/resume for long reconstructions)
+    dump_dir: str = ""
 
 
 def _log(cfg, *msg):
@@ -316,6 +319,17 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         _log(cfg, f"round {round_id}: +{added} views "
                   f"({len(posed)} total), {scene.n_landmarks} landmarks, "
                   f"rmse={rmse(scene):.3f}")
+        if cfg.dump_dir:
+            import os as _os
+
+            from openmvg_tpu.io.ply import save_scene_ply
+            from openmvg_tpu.io.snapshot import save_snapshot
+
+            _os.makedirs(cfg.dump_dir, exist_ok=True)
+            save_scene_ply(scene, _os.path.join(
+                cfg.dump_dir, f"round_{round_id:03d}.ply"))
+            save_snapshot(scene, _os.path.join(
+                cfg.dump_dir, "latest_snapshot.npz"))
 
     # final: BA until stable
     _run_ba(scene, cfg)

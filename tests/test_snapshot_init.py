@@ -51,3 +51,27 @@ def test_incremental_existing_poses_initializer():
     incremental_sfm(sc, feats, matches, cfg, seed=0)
     assert int(sc.pose_valid.sum()) == s.n_views
     assert rmse(sc) < 0.3
+
+
+def test_per_round_dumps(tmp_path):
+    """dump_dir writes per-round PLYs + a resumable snapshot
+    (sequential_SfM.cpp:200-203 analogue)."""
+    import os
+
+    from openmvg_tpu.io.snapshot import load_snapshot
+    from openmvg_tpu.sfm.pipeline_incremental import (IncrementalConfig,
+                                                      incremental_sfm)
+    from openmvg_tpu.utils.synthetic import ring_scene
+    from tests.test_incremental import scene_and_data
+
+    s = ring_scene(n_views=6, n_points=60, seed=0)
+    sc, feats, matches = scene_and_data(s)
+    cfg = IncrementalConfig(ransac_samples=256, resection_samples=256,
+                            min_init_inliers=30, ba_iterations=8,
+                            dump_dir=str(tmp_path / "rounds"))
+    incremental_sfm(sc, feats, matches, cfg, seed=0)
+    plys = [f for f in os.listdir(str(tmp_path / "rounds"))
+            if f.endswith(".ply")]
+    assert len(plys) >= 1
+    snap = load_snapshot(str(tmp_path / "rounds" / "latest_snapshot.npz"))
+    assert snap.n_landmarks > 0 and int(snap.pose_valid.sum()) >= 2
