@@ -16,7 +16,10 @@ VLD is 10 discs x a 13x13 masked window gathered from a stacked pyramid —
 instead of the reference's lazily-filled, order-dependent cache with a
 max_connection=20 early break (kvld.cpp:252-301).  The pruning fixed-point
 loop then runs on the host over the precomputed E.  Candidate sets differ
-only through that early break; selection semantics are otherwise the same.
+only through that early break; selection semantics are otherwise the same,
+except duplicate-endpoint pruning always drops the worse match (the
+reference keeps both when result count AND score tie exactly,
+kvld.cpp:313-360).
 
 Expected image range [0, 255] (contrast gate maxContrast=300, kvld.h:25).
 """
