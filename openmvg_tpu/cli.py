@@ -711,6 +711,44 @@ def cmd_pipeline(args):
     return 0
 
 
+def cmd_refine(args):
+    """Standalone bundle adjustment over an existing reconstruction —
+    single-chip Schur-CG LM by default, sharded over a device mesh with
+    --devices N (observations + point blocks partitioned, cameras
+    replicated with psum reductions)."""
+    from openmvg_tpu.io.ply import save_scene_ply
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.sfm import ba
+    from openmvg_tpu.sfm.scene import rmse
+
+    scene = _load_scene(args.input_file)
+    refine = (ba.ADJUST_ALL if args.refine_intrinsic_config == "ADJUST_ALL"
+              else ba.ADJUST_NONE)
+    prob, maps = ba.problem_from_scene(scene, refine_intrinsics=refine)
+    cfg = ba.BAConfig(max_iterations=args.iterations)
+    t0 = time.time()
+    if args.devices > 1:
+        import jax
+
+        from openmvg_tpu.parallel import dist_ba, mesh as meshlib
+
+        n = min(args.devices, len(jax.devices()))
+        mesh = meshlib.make_mesh(n)
+        prob, cost = dist_ba.adjust_point_sharded(prob, mesh, cfg)
+        print(f"distributed BA over {n} devices: cost={cost:.4f}")
+    else:
+        prob, cost, _ = ba.adjust(prob, cfg)
+        print(f"BA: cost={cost:.4f}")
+    ba.scene_from_problem(scene, prob, maps)
+    os.makedirs(os.path.dirname(os.path.abspath(args.output_file)),
+                exist_ok=True)
+    save_sfm_data(scene, args.output_file)
+    if args.ply:
+        save_scene_ply(scene, args.ply)
+    print(f"refined in {time.time() - t0:.1f}s: rmse={rmse(scene):.3f}px")
+    return 0
+
+
 def cmd_retrieval_quality(args):
     """main_MatchingRetrievalQuality.cpp: recall/precision of a putative
     pair list against GT pairs (from a matches file, or from landmark
@@ -944,6 +982,15 @@ def main(argv=None):
     p.add_argument("-p", "--describerPreset", default="NORMAL")
     p.add_argument("-r", "--ratio", type=float, default=0.8)
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("refine")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-n", "--iterations", type=int, default=30)
+    p.add_argument("-d", "--devices", type=int, default=1)
+    p.add_argument("-f", "--refine_intrinsic_config", default="ADJUST_ALL")
+    p.add_argument("--ply", default="")
+    p.set_defaults(fn=cmd_refine)
 
     p = sub.add_parser("retrieval-quality")
     p.add_argument("-i", "--input_file", default="")

@@ -106,3 +106,15 @@ def test_retrieval_quality(tmp_path, capsys):
     assert main(["retrieval-quality", "-p", pf, "-g", mp]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["gt_pairs"] == 4 and out["true_positive"] == 2
+
+
+def test_refine_cli_single_and_distributed(tmp_path, capsys):
+    sp, _ = _setup(tmp_path)
+    out1 = str(tmp_path / "r1.json")
+    assert main(["refine", "-i", sp, "-o", out1, "-n", "8"]) == 0
+    out8 = str(tmp_path / "r8.json")
+    assert main(["refine", "-i", sp, "-o", out8, "-d", "8", "-n", "8"]) == 0
+    s1 = load_sfm_data(out1)
+    s8 = load_sfm_data(out8)
+    np.testing.assert_allclose(s1.pose_C, s8.pose_C, atol=1e-6)
+    np.testing.assert_allclose(s1.X[s1.X_valid], s8.X[s8.X_valid], atol=1e-6)
