@@ -82,6 +82,46 @@ def cmd_init(args):
     return 0
 
 
+def _write_image_describer_json(args):
+    """image_describer.json (main_ComputeFeatures.cpp:168-230, cereal JSON):
+    records the describer type + preset so downstream tools (and openMVG
+    binaries) can recover the regions type from the matches directory."""
+    method = args.describerMethod.upper()
+    preset_peak = {"NORMAL": 0.04, "HIGH": 0.01, "ULTRA": 0.01}
+    if method.startswith("AKAZE"):
+        dname = "AKAZE_Image_describer_SURF" if "FLOAT" in method \
+            else "AKAZE_Image_describer_MLDB"
+        rname = ("AKAZE_Float_Regions" if "FLOAT" in method
+                 else "AKAZE_Binary_Regions")
+        params = {"options": {"iNbOctave": 4, "iNbSlicePerOctave": 4,
+                              "fThreshold": 0.0016, "fDesc_factor": 1.0}}
+    else:
+        dname = ("SIFT_Anatomy_Image_describer" if method == "SIFT_ANATOMY"
+                 else "SIFT_Image_describer")
+        rname = "SIFT_Regions"
+        params = {"first_octave": -1 if args.describerPreset.upper() == "ULTRA" else 0,
+                  "num_octaves": 6, "num_scales": 3, "edge_threshold": 10.0,
+                  "peak_threshold": preset_peak.get(
+                      args.describerPreset.upper(), 0.04),
+                  "root_sift": True}
+    doc = {
+        "image_describer": {
+            "polymorphic_id": 2147483649,
+            "polymorphic_name": dname,
+            "ptr_wrapper": {"id": 2147483649,
+                            "data": {"params": params,
+                                     "bOrientation": not getattr(args, "upright", False)}},
+        },
+        "regions_type": {
+            "polymorphic_id": 2147483650,
+            "polymorphic_name": rname,
+            "ptr_wrapper": {"id": 2147483650, "data": {"value0": 0}},
+        },
+    }
+    with open(os.path.join(args.outdir, "image_describer.json"), "w") as f:
+        json.dump(doc, f, indent=2)
+
+
 def cmd_features(args):
     from openmvg_tpu.io.features_io import save_descs, save_feats
     from openmvg_tpu.io.image import read_image
@@ -89,6 +129,7 @@ def cmd_features(args):
 
     scene = _load_scene(args.input_file)
     os.makedirs(args.outdir, exist_ok=True)
+    _write_image_describer_json(args)
     t0 = time.time()
     for v, name in enumerate(scene.view_filename):
         stem = os.path.splitext(os.path.basename(name))[0]
@@ -711,6 +752,38 @@ def cmd_pipeline(args):
     return 0
 
 
+def cmd_vo(args):
+    """Monocular visual odometry over an image sequence (software/VO:
+    FAST+KLT tracking, 5-pt relative pose); writes the up-to-scale camera
+    trajectory as a text file (one 'x y z' per frame)."""
+    from openmvg_tpu.io.image import read_image
+    from openmvg_tpu.sfm.vo import MonocularVO
+
+    exts = (".jpg", ".jpeg", ".png", ".tif", ".tiff")
+    files = sorted(f for f in os.listdir(args.imageDirectory)
+                   if f.lower().endswith(exts))
+    if not files:
+        print("no images found", file=sys.stderr)
+        return 1
+    first = read_image(os.path.join(args.imageDirectory, files[0]),
+                       grayscale=True)
+    h, w = first.shape
+    f = args.focal or 1.2 * max(w, h)
+    K = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1]])
+    vo = MonocularVO(K, fast_threshold=args.threshold)
+    vo.process(first)
+    for name in files[1:]:
+        img = read_image(os.path.join(args.imageDirectory, name),
+                         grayscale=True)
+        vo.process(img)
+        print(f"  {name}: {len(vo.trajectory)} poses")
+    with open(args.output_file, "w") as fo:
+        for C in vo.trajectory:
+            fo.write(f"{C[0]} {C[1]} {C[2]}\n")
+    print(f"trajectory of {len(vo.trajectory)} frames -> {args.output_file}")
+    return 0
+
+
 def cmd_refine(args):
     """Standalone bundle adjustment over an existing reconstruction —
     single-chip Schur-CG LM by default, sharded over a device mesh with
@@ -982,6 +1055,13 @@ def main(argv=None):
     p.add_argument("-p", "--describerPreset", default="NORMAL")
     p.add_argument("-r", "--ratio", type=float, default=0.8)
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("vo")
+    p.add_argument("-i", "--imageDirectory", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-f", "--focal", type=float, default=0.0)
+    p.add_argument("-t", "--threshold", type=float, default=0.06)
+    p.set_defaults(fn=cmd_vo)
 
     p = sub.add_parser("refine")
     p.add_argument("-i", "--input_file", required=True)
