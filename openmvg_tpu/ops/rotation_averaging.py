@@ -93,12 +93,16 @@ def spanning_tree_rotations(n_views, edges_i, edges_j, R_rel, weights=None):
 
 
 def l1_rotation_averaging(n_views, edges_i, edges_j, R_rel, weights=None,
-                          n_irls=16, init=None):
-    """IRLS-L1 refinement of spanning-tree (or given) initialization.
+                          n_irls=16, init=None, solver="irls"):
+    """L1 refinement of an initialization (rotation_averaging_l1.cpp
+    GlobalRotationsRobust).
 
-    Linearized residual per edge: r_e + d_j - d_i with
-    r_e = log(R_ij^T R_j R_i^T); IRLS weights 1/max(|r|, eps).
-    Gauge: d_0 = 0.  Solved densely (3N) per IRLS round.
+    Linearized residual per edge: r_e + R_ij^T d_j - d_i with
+    r_e = log(R_ij^T R_j R_i^T); gauge d_0 = 0; solved densely (3N) per
+    outer round.  solver="irls" re-weights the normal equations by
+    1/max(|r|, eps); solver="admm" solves the linearized
+    min sum ||r + J d||_1 exactly per round with the LAD-ADMM solver
+    (the reference's inner solver, numeric/l1_solver_admm.hpp).
     """
     if init is None:
         # L2 spectral solution as initialization: global (no single corrupted
@@ -116,6 +120,30 @@ def l1_rotation_averaging(n_views, edges_i, edges_j, R_rel, weights=None,
 
     def residuals(R):
         return so3.logmap(jnp.swapaxes(Rr, -1, -2) @ R[ej] @ jnp.swapaxes(R[ei], -1, -2))
+
+    def admm_round(R, _):
+        # build the dense (3E, 3N) linearized system J d = -r and solve the
+        # LAD problem exactly (small/medium scenes; IRLS covers the rest)
+        from openmvg_tpu.ops.l1_admm import solve_lad
+
+        r = residuals(R)
+        N = R.shape[0]
+        E = r.shape[0]
+        J = jnp.zeros((3 * E, 3 * N), R.dtype)
+        rows = (3 * jnp.arange(E))[:, None, None] \
+            + jnp.arange(3)[None, :, None]
+        cols_i = (3 * ei)[:, None, None] + jnp.arange(3)[None, None, :]
+        cols_j = (3 * ej)[:, None, None] + jnp.arange(3)[None, None, :]
+        eye = jnp.eye(3, dtype=R.dtype)
+        wcol = base_w[:, None, None]
+        J = J.at[rows, cols_i].add(-eye * wcol)
+        J = J.at[rows, cols_j].add(jnp.swapaxes(Rr, -1, -2) * wcol)
+        # pin the gauge by dropping view-0 columns (d_0 = 0)
+        J = J.at[:, :3].set(0.0)
+        d = solve_lad(J, (-(base_w[:, None] * r)).reshape(-1), iters=200)
+        d = d.reshape(N, 3).at[0].set(0.0)
+        R_new = so3.expmap(d) @ R
+        return R_new, jnp.sum(jnp.linalg.norm(residuals(R_new), axis=-1))
 
     def irls_round(R, _):
         r = residuals(R)  # (E, 3)
@@ -152,7 +180,8 @@ def l1_rotation_averaging(n_views, edges_i, edges_j, R_rel, weights=None,
         R_new = so3.expmap(d) @ R
         return R_new, jnp.sum(jnp.linalg.norm(residuals(R_new), axis=-1))
 
-    R, _ = jax.lax.scan(irls_round, R, None, length=n_irls)
+    round_fn = admm_round if solver == "admm" else irls_round
+    R, _ = jax.lax.scan(round_fn, R, None, length=n_irls)
     return R
 
 

@@ -97,3 +97,49 @@ def test_translation_averaging(method):
     aligned = np.asarray(sim.apply(jnp.asarray(C_est[None])))[0]
     err = np.linalg.norm(aligned - s.C, axis=1).max()
     assert err < 1e-3, err
+
+
+def test_lad_admm_regression():
+    """LAD-ADMM fits the true line through 30% gross outliers (where L2
+    does not)."""
+    from openmvg_tpu.ops.l1_admm import solve_lad
+
+    rng = np.random.default_rng(0)
+    M = 200
+    A = np.stack([rng.uniform(-1, 1, M), np.ones(M)], 1)
+    x_true = np.array([2.0, -0.5])
+    b = A @ x_true + rng.normal(0, 0.01, M)
+    out = rng.choice(M, M // 3, replace=False)
+    b[out] += rng.uniform(3, 10, len(out)) * rng.choice([-1, 1], len(out))
+    x_l1 = np.asarray(solve_lad(jnp.asarray(A), jnp.asarray(b), iters=400))
+    x_l2 = np.linalg.lstsq(A, b, rcond=None)[0]
+    assert np.linalg.norm(x_l1 - x_true) < 0.02
+    assert np.linalg.norm(x_l2 - x_true) > 0.2
+
+
+def test_l1_rotation_averaging_admm_matches_irls():
+    from openmvg_tpu.ops import rotation_averaging as ra
+    from openmvg_tpu.utils.synthetic import ring_scene
+
+    s = ring_scene(n_views=8, n_points=40, seed=0)
+    ei, ej, Rr = [], [], []
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        for j in range(i + 1, min(i + 3, 8)):
+            ei.append(i)
+            ej.append(j)
+            R = s.R[j] @ s.R[i].T
+            Rr.append(R)
+    # corrupt one edge
+    Rr[0] = Rr[0] @ np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    for solver in ("irls", "admm"):
+        R = np.asarray(ra.l1_rotation_averaging(
+            8, np.asarray(ei), np.asarray(ej), np.asarray(Rr), solver=solver))
+        # compare relative rotations to GT (global gauge removed)
+        errs = []
+        for k in range(1, len(ei)):
+            R_est = R[ej[k]] @ R[ei[k]].T
+            R_gt = s.R[ej[k]] @ s.R[ei[k]].T
+            cos = (np.trace(R_est @ R_gt.T) - 1) / 2
+            errs.append(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+        assert np.median(errs) < 1.0, (solver, errs)
