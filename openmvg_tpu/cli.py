@@ -257,12 +257,13 @@ def cmd_filter(args):
 
     scene = _load_scene(args.input_file)
     matchdir = os.path.dirname(args.matches)
-    feats, _ = _load_features_for_scene(scene, matchdir)
+    feats, descs = _load_features_for_scene(scene, matchdir)
     putative = load_matches(args.matches)
     t0 = time.time()
     filtered = geometric_filter(
         scene, feats, putative, model=args.geometric_model,
-        threshold_px=4.0, n_samples=args.max_iteration)
+        threshold_px=4.0, n_samples=args.max_iteration,
+        guided=args.guided_matching, descs=descs)
     save_matches(filtered, args.output_file)
     n_m = sum(len(m) for m in filtered.values())
     print(f"{len(filtered)}/{len(putative)} pairs kept, {n_m} matches "
@@ -914,6 +915,7 @@ def main(argv=None):
     p.add_argument("-m", "--matches", required=True)
     p.add_argument("-o", "--output_file", required=True)
     p.add_argument("-g", "--geometric_model", default="f")
+    p.add_argument("-r", "--guided_matching", action="store_true")
     p.add_argument("--max_iteration", type=int, default=2048)
     p.set_defaults(fn=cmd_filter)
 

@@ -26,9 +26,15 @@ def geometric_filter(scene, features: List[np.ndarray],
                      matches: Dict[Tuple[int, int], np.ndarray],
                      model: str = "f", threshold_px: float = 4.0,
                      n_samples: int = 2048, seed: int = 0,
+                     guided: bool = False, descs: List[np.ndarray] = None,
                      ) -> Dict[Tuple[int, int], np.ndarray]:
     """Filter putative matches with the chosen geometric model
-    ('f' fundamental | 'e' essential | 'h' homography | 'a' angular)."""
+    ('f' fundamental | 'e' essential | 'h' homography | 'a' angular).
+
+    guided=True (main_GeometricFilter -r, model 'f' only): pairs that pass
+    are re-matched over ALL features gated by distance to the estimated
+    F's epipolar lines (Geometry_guided_matching, GeometricFilter.hpp:109);
+    requires `descs`."""
     key = jax.random.PRNGKey(seed)
     out = {}
     prec = threshold_px * threshold_px if np.isfinite(threshold_px) else np.inf
@@ -83,5 +89,15 @@ def geometric_filter(scene, features: List[np.ndarray],
             raise ValueError(f"unknown model {model}")
         inl = np.asarray(res.inliers)[:n]
         if bool(res.found) and inl.sum() > 2.5 * MIN_SAMPLES[model]:
-            out[(va, vb)] = m[inl]
+            if guided and model == "f" and descs is not None:
+                from openmvg_tpu.sfm.known_poses import guided_matching_pair
+
+                thr = float(np.sqrt(float(res.threshold_sq)))
+                gm = guided_matching_pair(
+                    scene, va, vb, features[va], features[vb],
+                    descs[va], descs[vb],
+                    epipolar_threshold_px=thr, F=np.asarray(res.model))
+                out[(va, vb)] = gm if len(gm) >= inl.sum() else m[inl]
+            else:
+                out[(va, vb)] = m[inl]
     return out

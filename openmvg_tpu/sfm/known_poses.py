@@ -34,10 +34,13 @@ def _pair_F(scene, va, vb):
 
 
 def guided_matching_pair(scene, va, vb, feats_a, feats_b, desc_a, desc_b,
-                         epipolar_threshold_px=4.0, ratio=0.8):
+                         epipolar_threshold_px=4.0, ratio=0.8, F=None):
     """Descriptor matching restricted to epipolar-consistent candidates
-    (guided_matching.hpp: distance-to-line gating + NN ratio)."""
-    F = _pair_F(scene, va, vb)
+    (guided_matching.hpp: distance-to-line gating + NN ratio).  F defaults
+    to the pose-derived fundamental; pass one explicitly to guide with a
+    robustly-estimated model (GeometricFilter -r)."""
+    if F is None:
+        F = _pair_F(scene, va, vb)
     res = matching.match_brute_force(jnp.asarray(desc_a), jnp.asarray(desc_b),
                                      ratio=ratio)
     mask = np.asarray(res.mask)

@@ -118,3 +118,32 @@ def test_refine_cli_single_and_distributed(tmp_path, capsys):
     s8 = load_sfm_data(out8)
     np.testing.assert_allclose(s1.pose_C, s8.pose_C, atol=1e-6)
     np.testing.assert_allclose(s1.X[s1.X_valid], s8.X[s8.X_valid], atol=1e-6)
+
+
+def test_guided_matching_filter():
+    """-r guided matching re-matches along the estimated F's epipolar
+    lines and should recover at least the AC-RANSAC inlier count."""
+    import jax.numpy as jnp
+
+    from openmvg_tpu.sfm.geometric_filter import geometric_filter
+    from openmvg_tpu.utils.synthetic import ring_scene
+    from tests.test_incremental import scene_and_data
+
+    rng = np.random.default_rng(0)
+    s = ring_scene(n_views=4, n_points=80, seed=0)
+    sc, feats, matches = scene_and_data(s)
+    descs = []
+    # descriptors: noisy copies so guided re-matching can align i<->i
+    base = rng.integers(0, 255, (80, 128)).astype(np.uint8)
+    for v in range(4):
+        d = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape), 0,
+                    255).astype(np.uint8)
+        descs.append(d)
+    # drop half the putative matches; guided matching should find them again
+    sparse = {k: m[::2] for k, m in matches.items()}
+    plain = geometric_filter(sc, feats, sparse, model="f", n_samples=512)
+    guided = geometric_filter(sc, feats, sparse, model="f", n_samples=512,
+                              guided=True, descs=descs)
+    k = (0, 1)
+    assert len(guided[k]) > len(plain[k])
+    assert len(guided[k]) >= 60  # most of the 80 correspondences recovered
