@@ -396,7 +396,12 @@ def cmd_eval(args):
     scene = _load_scene(args.input_file)
     gt = load_strecha_gt(args.gt_dir)
     stats = evaluate_against_gt(scene, gt)
-    print(json.dumps(stats, indent=2))
+    if getattr(args, "html", ""):
+        from openmvg_tpu.sfm.eval_quality import export_eval_html
+
+        export_eval_html(stats, args.html)
+    print(json.dumps({k: v for k, v in stats.items()
+                      if not isinstance(v, dict)}, indent=2))
     return 0
 
 
@@ -753,6 +758,45 @@ def cmd_pipeline(args):
     return 0
 
 
+def cmd_kvld_filter(args):
+    """K-VLD photometric match verification over putative matches
+    (matching/kvld; sample main_kvld_filter behavior): per pair, keep
+    matches with >= K gvld-consistent neighbors."""
+    from openmvg_tpu.io.image import read_image
+    from openmvg_tpu.io.matches_io import load_matches, save_matches
+    from openmvg_tpu.ops.kvld import kvld_filter
+
+    scene = _load_scene(args.input_file)
+    matchdir = args.matchdir or os.path.dirname(args.matches)
+    feats, _ = _load_features_for_scene(scene, matchdir)
+    putative = load_matches(args.matches)
+    images = {}
+
+    def img_of(v):
+        if v not in images:
+            images[v] = np.asarray(read_image(
+                os.path.join(scene.root_path, scene.view_filename[v]),
+                grayscale=True), np.float64) * 255.0
+        return images[v]
+
+    out = {}
+    t0 = time.time()
+    for (i, j), m in sorted(putative.items()):
+        fa = dict(xy=feats[i][:, :2], scale=feats[i][:, 2],
+                  orientation=feats[i][:, 3])
+        fb = dict(xy=feats[j][:, :2], scale=feats[j][:, 2],
+                  orientation=feats[j][:, 3])
+        kept, _, valid = kvld_filter(img_of(i), img_of(j), fa, fb, m,
+                                     K=args.K)
+        if len(kept):
+            out[(i, j)] = kept
+        print(f"  ({i},{j}): {int(valid.sum())}/{len(m)} kept")
+    save_matches(out, args.output_file)
+    print(f"kvld: {len(out)}/{len(putative)} pairs kept "
+          f"in {time.time() - t0:.1f}s")
+    return 0
+
+
 def cmd_vo(args):
     """Monocular visual odometry over an image sequence (software/VO:
     FAST+KLT tracking, 5-pt relative pose); writes the up-to-scale camera
@@ -948,6 +992,7 @@ def main(argv=None):
     p = sub.add_parser("eval")
     p.add_argument("-i", "--input_file", required=True)
     p.add_argument("-g", "--gt_dir", required=True)
+    p.add_argument("--html", default="")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("localize")
@@ -1057,6 +1102,14 @@ def main(argv=None):
     p.add_argument("-p", "--describerPreset", default="NORMAL")
     p.add_argument("-r", "--ratio", type=float, default=0.8)
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("kvld-filter")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--matches", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-d", "--matchdir", default=None)
+    p.add_argument("-K", type=int, default=3)
+    p.set_defaults(fn=cmd_kvld_filter)
 
     p = sub.add_parser("vo")
     p.add_argument("-i", "--imageDirectory", required=True)

@@ -64,7 +64,39 @@ def evaluate_against_gt(scene_est, scene_gt, match_by="filename") -> Dict:
         rotation_error_mean_deg=float(ang.mean()),
         rotation_error_median_deg=float(np.median(ang)),
         scale=float(np.asarray(sim.scale)[0]),
+        per_camera=dict(
+            pose=[int(p) for p in est_idx],
+            position_error=[float(e) for e in pos_err],
+            rotation_error_deg=[float(a) for a in ang],
+        ),
     )
+
+
+def export_eval_html(stats: Dict, path: str, title="GT evaluation"):
+    """Per-camera error table + histogram HTML report
+    (tools_precisionEvaluationToGt.hpp exportToHtml analogue)."""
+    from openmvg_tpu.utils.report import _svg_histogram
+
+    pc = stats.get("per_camera", {})
+    pos = pc.get("position_error", [])
+    rot = pc.get("rotation_error_deg", [])
+    rows = "".join(
+        f"<tr><td>{i}</td><td>{p:.6f}</td><td>{r:.4f}</td></tr>"
+        for i, (p, r) in enumerate(zip(pos, rot)))
+    summary = "".join(
+        f"<li>{k}: {v}</li>" for k, v in stats.items()
+        if not isinstance(v, dict))
+    html = f"""<!DOCTYPE html><html><head><title>{title}</title></head><body>
+<h1>{title}</h1>
+<ul>{summary}</ul>
+{_svg_histogram(pos, title="camera position error") if pos else ""}
+{_svg_histogram(rot, title="camera rotation error (deg)") if rot else ""}
+<table border="1"><tr><th>#</th><th>position err</th><th>rotation err (deg)</th></tr>
+{rows}</table>
+</body></html>"""
+    with open(path, "w") as f:
+        f.write(html)
+    return True
 
 
 def _stem(name):
