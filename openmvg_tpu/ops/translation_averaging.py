@@ -40,11 +40,18 @@ def _loss_sqrt_weight(r_norm2, method, tau=0.01):
 
 def solve_translation_averaging(n_views, edges_i, edges_j, R_rel, t_rel,
                                 method=SOFTL1, n_iterations=60, tau=0.01,
-                                scale_pull=1.0, dtype=jnp.float64):
+                                scale_pull=1.0, dtype=jnp.float64,
+                                scale_group=None):
     """Returns translations t (n_views, 3) with t_0 = 0 gauge.
 
     R_rel (E,3,3) = R_j R_i^T, t_rel (E,3) unit relative translations
     (x_j = R_rel x_i + s * t_rel for some positive scale s).
+
+    scale_group: optional (E,) int array mapping each edge to a shared
+    scale variable — the reference assigns ONE scale per relative-motion
+    group (a triplet's 3 edges share their scale,
+    translation_averaging_solver_softl1.cpp:118-173).  Default: one scale
+    per edge (the two-view-motion case).
     """
     ei = jnp.asarray(edges_i)
     ej = jnp.asarray(edges_j)
@@ -52,20 +59,24 @@ def solve_translation_averaging(n_views, edges_i, edges_j, R_rel, t_rel,
     tr = jnp.asarray(t_rel, dtype)
     E = len(edges_i)
     N = n_views
+    if scale_group is None:
+        scale_group = np.arange(E)
+    sg = jnp.asarray(scale_group)
+    n_scales = int(np.asarray(scale_group).max()) + 1 if E else 0
 
     t0 = jnp.ones((N, 3), dtype)
-    s0 = jnp.ones((E,), dtype)
+    s0 = jnp.ones((n_scales,), dtype)
 
     def resid(t, s):
-        return t[ej] - jnp.einsum("eij,ej->ei", Rr, t[ei]) - s[:, None] * tr
+        return t[ej] - jnp.einsum("eij,ej->ei", Rr, t[ei]) - s[sg][:, None] * tr
 
     @jax.jit
     def gn_step(t, s, lam):
         r = resid(t, s)  # (E, 3)
         w = _loss_sqrt_weight(jnp.sum(r * r, -1), method, tau)  # (E,)
-        # unknown layout: [t (3N), s (E)]
+        # unknown layout: [t (3N), s (n_scales)]
         # J blocks per edge: d r/d t_j = I, d r/d t_i = -R_ij, d r/d s = -t_ij
-        dim = 3 * N + E
+        dim = 3 * N + n_scales
         H = jnp.zeros((dim, dim), dtype)
         g = jnp.zeros((dim,), dtype)
         w2 = w * w
@@ -82,8 +93,8 @@ def solve_translation_averaging(n_views, edges_i, edges_j, R_rel, t_rel,
         H = H.at[rows_i, cols_i].add(w2[:, None, None] * RtR)
         H = H.at[rows_j, cols_i].add(-w2[:, None, None] * Rr)
         H = H.at[rows_i, cols_j].add(-w2[:, None, None] * jnp.swapaxes(Rr, -1, -2))
-        # H_ts, H_ss
-        scol = 3 * N + jnp.arange(E)
+        # H_ts, H_ss (duplicate scol indices accumulate via .add)
+        scol = 3 * N + sg
         Jt_s_j = -tr  # dr/ds projected: (I)^T (-t_ij)
         Jt_s_i = jnp.einsum("eij,ej->ei", jnp.swapaxes(Rr, -1, -2), tr)  # (-R)^T(-t)
         H = H.at[rows_j[..., 0], scol[:, None]].add(w2[:, None] * Jt_s_j)
@@ -97,10 +108,11 @@ def solve_translation_averaging(n_views, edges_i, edges_j, R_rel, t_rel,
             (w2[:, None] * jnp.einsum("eij,ei->ej", Rr, r)).reshape(-1))
         g = g.at[scol].add(w2 * jnp.sum(tr * r, -1))
 
-        # scale pull: residual max(0, 1 - s), J = -1 when s < 1
+        # scale pull: residual max(0, 1 - s), J = -1 when s < 1 (per scale)
+        svar = 3 * N + jnp.arange(n_scales)
         active = (s < 1.0).astype(dtype) * scale_pull
-        H = H.at[scol, scol].add(active)
-        g = g.at[scol].add(active * (1.0 - s))
+        H = H.at[svar, svar].add(active)
+        g = g.at[svar].add(active * (1.0 - s))
 
         # gauge t_0 = 0
         idx0 = jnp.arange(3)

@@ -11,11 +11,14 @@ GlobalSfMReconstructionEngine_RelativeMotions::Process (:112-175):
      eraseUnstablePosesAndObservations(min 12 pts/pose, 3 obs/landmark),
      final BA (:418-532)
 
-Deviation (documented): relative translations fed to the averaging come
-from the two-view AC-RANSAC poses with averaged rotations substituted,
-rather than the reference's per-triplet l-infinity AC-RANSAC re-estimation
-(GlobalSfM_translation_averaging.cpp:520-734) — same inputs family, far
-fewer moving parts; the robust SoftL1 loss absorbs the extra noise.
+Relative translations for step 4 use the reference's edge-coverage
+algorithm (GlobalSfM_translation_averaging.cpp:440-637): per-triplet
+AC-RANSAC translation estimation (Estimate_T_triplet :643-860, recast as
+a batched linear null-space solver in ops/triplet_translation.py), one
+shared scale per triplet group in the averaging, and initial structure
+restricted to triplet-validated tracks.  Falls back to two-view AC-RANSAC
+translations (averaged rotations substituted) when triplets are scarce or
+the scene is spherical.
 """
 
 import dataclasses
@@ -57,6 +60,12 @@ class GlobalConfig:
     refine_intrinsics: object = ba.ADJUST_ALL
     verbose: bool = False
     dtype: object = jnp.float64
+    # per-triplet translation re-estimation (edge coverage); falls back to
+    # two-view translations when it yields too few motions
+    triplet_translation: bool = True
+    triplet_min_tracks: int = 30     # Estimate_T_triplet: tracks.size() < 30
+    triplet_min_inliers: int = 30    # bTest: vec_inliers.size() > 30
+    triplet_samples: int = 320       # ORSA_ITER
 
 
 def _log(cfg, *m):
@@ -102,6 +111,95 @@ def compute_relative_poses(scene, index, pairs, cfg, key):
     return out
 
 
+def _shared_track_corr3(index, va, vb, vc):
+    """Pixel coords (xa, xb, xc) + ids of tracks seen in all three views."""
+    ra, rb, rc = (index.rows_of_view(v) for v in (va, vb, vc))
+    ta = index.tracks.track_id[ra]
+    tb = index.tracks.track_id[rb]
+    tc = index.tracks.track_id[rc]
+    cab, ia, ib = np.intersect1d(ta, tb, return_indices=True)
+    common, iab, ic = np.intersect1d(cab, tc, return_indices=True)
+    return (index.obs_xy[ra[ia[iab]]], index.obs_xy[rb[ib[iab]]],
+            index.obs_xy[rc[ic]], common)
+
+
+def _normalized_coords(scene, v, xy):
+    """Pixel -> normalized camera coords (undistorted bearing hnormalized),
+    mirroring `(*cam)(cam->get_ud_pixel(pt)).hnormalized()`."""
+    b = _bearings(scene, np.full(len(xy), v), xy)
+    return b[:, :2] / b[:, 2:3]
+
+
+def compute_triplet_translations(scene, index, triplets, R_of_view, cfg, key):
+    """Edge-coverage relative-translation estimation
+    (GlobalSfM_translation_averaging.cpp:440-637): for every pair-graph
+    edge not yet covered, try its supporting triplets (sorted by shared
+    track count) with per-triplet AC-RANSAC until one succeeds; each
+    success emits the triplet's 3 relative motions as one scale group and
+    marks its edges covered.
+
+    Returns (rel_motions [(group, (vi, vj), R_ij, t_ij)], inlier_track_ids).
+    """
+    from collections import defaultdict
+
+    from openmvg_tpu.ops import triplet_translation as tt
+
+    tri_data = {}
+    edge_tris = defaultdict(list)
+    for t_idx, (i, j, k) in enumerate(triplets):
+        xa, xb, xc, tids = _shared_track_corr3(index, i, j, k)
+        if len(tids) < cfg.triplet_min_tracks:
+            continue
+        tri_data[t_idx] = (xa, xb, xc, tids)
+        for e in ((i, j), (j, k), (i, k)):
+            edge_tris[tuple(sorted(e))].append(t_idx)
+
+    rel_motions = []
+    inlier_track_ids = set()
+    covered = set()
+    group = 0
+    for edge in sorted(edge_tris):
+        if edge in covered:
+            continue
+        cand = sorted(edge_tris[edge], key=lambda t: -len(tri_data[t][3]))
+        for t_idx in cand:
+            tri = triplets[t_idx]
+            tri_edges = [tuple(sorted(e))
+                         for e in ((tri[0], tri[1]), (tri[1], tri[2]),
+                                   (tri[0], tri[2]))]
+            if all(e in covered for e in tri_edges):
+                continue
+            xa, xb, xc, tids = tri_data[t_idx]
+            n = len(tids)
+            xs = np.stack([_normalized_coords(scene, v, x)
+                           for v, x in zip(tri, (xa, xb, xc))], 0)
+            Rs = np.stack([R_of_view[v] for v in tri])
+            focals = [float(np.asarray(cm.K_matrix(jnp.asarray(
+                scene.cameras.params[scene.view_intrinsic[v]])))[0, 0])
+                for v in tri]
+            min_focal = min(focals)
+            (xs_p,), kpad = _pad_pow2([np.swapaxes(xs, 0, 1)], n, lo=32)
+            valid = np.arange(kpad) < n
+            res = tt.triplet_translation_acransac_jit(
+                jax.random.fold_in(key, t_idx),
+                jnp.asarray(np.swapaxes(xs_p, 0, 1)), jnp.asarray(Rs),
+                jnp.asarray(valid), n_samples=cfg.triplet_samples,
+                precision_norm=cfg.max_residual_px / min_focal)
+            inl = np.array(res.inliers)[:n]
+            if not bool(res.found) or inl.sum() <= cfg.triplet_min_inliers:
+                continue
+            covered.update(tri_edges)
+            ts = np.array(res.ts)
+            for a, b in ((0, 1), (1, 2), (0, 2)):
+                Rab = R_of_view[tri[b]] @ R_of_view[tri[a]].T
+                tab = ts[b] - Rab @ ts[a]
+                rel_motions.append((group, (tri[a], tri[b]), Rab, tab))
+            group += 1
+            inlier_track_ids.update(tids[inl].tolist())
+            break
+    return rel_motions, inlier_track_ids
+
+
 def global_sfm(scene: Scene, features: List[np.ndarray],
                matches: Dict[Tuple[int, int], np.ndarray],
                cfg: GlobalConfig = GlobalConfig(), seed: int = 0):
@@ -145,14 +243,41 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
         R_glob = np.asarray(ra.l1_rotation_averaging(
             len(views), ei, ej, jnp.asarray(R_rel), jnp.asarray(w / w.max())))
 
-    # 4. translation averaging, with averaged rotations substituted
-    t_rel = np.stack([rel[p]["t"] for p in kept_pairs])
+    # 4. translation averaging
     method = {TRANSLATION_AVERAGING_L1: ta.L1,
               TRANSLATION_AVERAGING_L2_CHORDAL: ta.L2,
               TRANSLATION_AVERAGING_SOFTL1: ta.SOFTL1}[cfg.translation_averaging]
-    R_rel_avg = np.einsum("eij,ekj->eik", R_glob[ej], R_glob[ei])
-    t_glob, _ = ta.solve_translation_averaging(
-        len(views), ei, ej, R_rel_avg, t_rel, method=method)
+    spherical = any(
+        int(scene.cameras.kind[scene.view_intrinsic[v]]) == cm.SPHERICAL
+        for v in views)
+    tri_inlier_tids = None
+    t_glob = None
+    if cfg.triplet_translation and triplets and not spherical:
+        R_of_view = {v: R_glob[vmap_[v]] for v in views}
+        rel_motions, tids = compute_triplet_translations(
+            scene, index, triplets, R_of_view, cfg,
+            jax.random.fold_in(key, 0x7121))
+        covered_views = {v for _, e, _, _ in rel_motions for v in e} \
+            if rel_motions else set()
+        _log(cfg, f"triplet translations: {len(rel_motions)} motions "
+                  f"({len(rel_motions) // 3} triplets), "
+                  f"{len(covered_views)}/{len(views)} views covered")
+        if covered_views == set(views):
+            groups = np.asarray([g for g, _, _, _ in rel_motions])
+            tei = np.asarray([vmap_[e[0]] for _, e, _, _ in rel_motions])
+            tej = np.asarray([vmap_[e[1]] for _, e, _, _ in rel_motions])
+            Rm = np.stack([R for _, _, R, _ in rel_motions])
+            tm = np.stack([t for _, _, _, t in rel_motions])
+            t_glob, _ = ta.solve_translation_averaging(
+                len(views), tei, tej, Rm, tm, method=method,
+                scale_group=groups)
+            tri_inlier_tids = tids
+    if t_glob is None:
+        # fallback: two-view translations with averaged rotations substituted
+        t_rel = np.stack([rel[p]["t"] for p in kept_pairs])
+        R_rel_avg = np.einsum("eij,ekj->eik", R_glob[ej], R_glob[ei])
+        t_glob, _ = ta.solve_translation_averaging(
+            len(views), ei, ej, R_rel_avg, t_rel, method=method)
 
     # write poses
     for v, i in vmap_.items():
@@ -169,6 +294,13 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
     cand = np.bincount(index.tracks.track_id[rows_posed],
                        minlength=index.n_tracks)
     cand_tracks = np.nonzero(cand >= cfg.min_track_views)[0]
+    if tri_inlier_tids:
+        # reference: initial structure from triplet-validated tracks only
+        # (Compute_Initial_Structure over tripletWise_matches :318-415)
+        validated = cand_tracks[np.isin(
+            cand_tracks, np.fromiter(tri_inlier_tids, np.int64))]
+        if len(validated) >= 16:
+            cand_tracks = validated
     n_rec = _reconstruct_tracks(scene, index, cand_tracks, landmark_of_track,
                                 _TriCfg(cfg))
     _log(cfg, f"initial structure: {n_rec}/{len(cand_tracks)} tracks, "
