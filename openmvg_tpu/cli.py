@@ -380,6 +380,8 @@ def cmd_export(args):
         exporters.export_cmpmvs(scene, args.output_file)
     elif fmt == "frustums":
         exporters.export_frustums_ply(scene, args.output_file)
+    elif fmt == "webgl":
+        exporters.export_webgl(scene, args.output_file)
     elif fmt == "undistorted":
         exporters.export_undistorted_images(scene, args.output_file)
     else:

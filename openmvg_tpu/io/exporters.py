@@ -664,3 +664,152 @@ def export_undistorted_images(scene, outdir, image_loader=None, writer=None):
                               float(scene.cameras.height[iid]))
         writer(dst, np.asarray(out))
     return True
+
+
+_WEBGL_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>openmvg_tpu scene</title><style>
+html,body{margin:0;height:100%;overflow:hidden;background:#10131a;color:#cbd3e1;
+font:12px system-ui,sans-serif}
+#hud{position:fixed;left:10px;top:8px;user-select:none;pointer-events:none}
+canvas{display:block;width:100vw;height:100vh}
+</style></head><body>
+<div id="hud">__NPTS__ points &middot; __NCAMS__ cameras &mdash;
+drag: orbit &middot; wheel: zoom &middot; shift-drag: pan</div>
+<canvas id="c"></canvas>
+<script>
+"use strict";
+const PTS = new Float32Array(Uint8Array.from(atob("__PTS__"),c=>c.charCodeAt(0)).buffer);
+const COL = new Uint8Array(Uint8Array.from(atob("__COL__"),c=>c.charCodeAt(0)).buffer);
+const CAM = new Float32Array(Uint8Array.from(atob("__CAM__"),c=>c.charCodeAt(0)).buffer);
+const canvas = document.getElementById("c");
+const gl = canvas.getContext("webgl", {antialias:true});
+function sh(type, src){const s=gl.createShader(type);gl.shaderSource(s,src);
+gl.compileShader(s);return s;}
+function prog(vs, fs){const p=gl.createProgram();
+gl.attachShader(p,sh(gl.VERTEX_SHADER,vs));gl.attachShader(p,sh(gl.FRAGMENT_SHADER,fs));
+gl.linkProgram(p);return p;}
+const pPts = prog(
+"attribute vec3 p;attribute vec3 c;uniform mat4 mvp;varying vec3 vc;"+
+"void main(){gl_Position=mvp*vec4(p,1.0);gl_PointSize=2.0;vc=c;}",
+"precision mediump float;varying vec3 vc;void main(){gl_FragColor=vec4(vc,1.0);}");
+const pLin = prog(
+"attribute vec3 p;uniform mat4 mvp;void main(){gl_Position=mvp*vec4(p,1.0);}",
+"precision mediump float;void main(){gl_FragColor=vec4(0.30,0.75,0.58,1.0);}");
+const bufP=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,bufP);
+gl.bufferData(gl.ARRAY_BUFFER,PTS,gl.STATIC_DRAW);
+const bufC=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,bufC);
+gl.bufferData(gl.ARRAY_BUFFER,COL,gl.STATIC_DRAW);
+const bufL=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,bufL);
+gl.bufferData(gl.ARRAY_BUFFER,CAM,gl.STATIC_DRAW);
+// scene bounds -> initial camera
+let lo=[1/0,1/0,1/0],hi=[-1/0,-1/0,-1/0];
+for(let i=0;i<PTS.length;i+=3)for(let k=0;k<3;k++){
+lo[k]=Math.min(lo[k],PTS[i+k]);hi[k]=Math.max(hi[k],PTS[i+k]);}
+const ctr=[(lo[0]+hi[0])/2,(lo[1]+hi[1])/2,(lo[2]+hi[2])/2];
+const diag=Math.hypot(hi[0]-lo[0],hi[1]-lo[1],hi[2]-lo[2])||1;
+let az=0.6, el=0.4, dist=diag*1.6, pan=[0,0,0];
+function mat(){
+const w=canvas.width,h=canvas.height,f=1.6,n=diag*1e-3,fa=diag*40;
+const a=w/h;
+const P=[f/a,0,0,0, 0,f,0,0, 0,0,(fa+n)/(n-fa),-1, 0,0,2*fa*n/(n-fa),0];
+const ce=Math.cos(el),se=Math.sin(el),ca=Math.cos(az),sa=Math.sin(az);
+const eye=[ctr[0]+pan[0]+dist*ce*sa, ctr[1]+pan[1]+dist*se, ctr[2]+pan[2]+dist*ce*ca];
+const at=[ctr[0]+pan[0],ctr[1]+pan[1],ctr[2]+pan[2]];
+let z=[eye[0]-at[0],eye[1]-at[1],eye[2]-at[2]];
+let zl=Math.hypot(...z);z=z.map(v=>v/zl);
+let x=[z[2],0,-z[0]];let xl=Math.hypot(...x)||1;x=x.map(v=>v/xl);
+const y=[z[1]*x[2]-z[2]*x[1],z[2]*x[0]-z[0]*x[2],z[0]*x[1]-z[1]*x[0]];
+const V=[x[0],y[0],z[0],0, x[1],y[1],z[1],0, x[2],y[2],z[2],0,
+-(x[0]*eye[0]+x[1]*eye[1]+x[2]*eye[2]),
+-(y[0]*eye[0]+y[1]*eye[1]+y[2]*eye[2]),
+-(z[0]*eye[0]+z[1]*eye[1]+z[2]*eye[2]),1];
+// P*V (column-major)
+const M=new Float32Array(16);
+for(let i=0;i<4;i++)for(let j=0;j<4;j++){let s=0;
+for(let k=0;k<4;k++)s+=P[k*4+j]*V[i*4+k];M[i*4+j]=s;}
+return M;}
+function draw(){
+canvas.width=innerWidth*devicePixelRatio;canvas.height=innerHeight*devicePixelRatio;
+gl.viewport(0,0,canvas.width,canvas.height);
+gl.clearColor(0.063,0.075,0.102,1);gl.enable(gl.DEPTH_TEST);
+gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
+const M=mat();
+gl.useProgram(pPts);
+gl.uniformMatrix4fv(gl.getUniformLocation(pPts,"mvp"),false,M);
+let lp=gl.getAttribLocation(pPts,"p");gl.bindBuffer(gl.ARRAY_BUFFER,bufP);
+gl.enableVertexAttribArray(lp);gl.vertexAttribPointer(lp,3,gl.FLOAT,false,0,0);
+let lc=gl.getAttribLocation(pPts,"c");gl.bindBuffer(gl.ARRAY_BUFFER,bufC);
+gl.enableVertexAttribArray(lc);gl.vertexAttribPointer(lc,3,gl.UNSIGNED_BYTE,true,0,0);
+gl.drawArrays(gl.POINTS,0,PTS.length/3);
+gl.useProgram(pLin);
+gl.uniformMatrix4fv(gl.getUniformLocation(pLin,"mvp"),false,M);
+let ll=gl.getAttribLocation(pLin,"p");gl.bindBuffer(gl.ARRAY_BUFFER,bufL);
+gl.enableVertexAttribArray(ll);gl.vertexAttribPointer(ll,3,gl.FLOAT,false,0,0);
+gl.drawArrays(gl.LINES,0,CAM.length/3);
+requestAnimationFrame(draw);}
+let drag=false,panning=false,px=0,py=0;
+canvas.addEventListener("mousedown",e=>{drag=true;panning=e.shiftKey||e.button===2;
+px=e.clientX;py=e.clientY;});
+addEventListener("mouseup",()=>drag=false);
+addEventListener("mousemove",e=>{if(!drag)return;
+const dx=e.clientX-px,dy=e.clientY-py;px=e.clientX;py=e.clientY;
+if(panning){pan[0]-=dx*dist*0.0015;pan[1]+=dy*dist*0.0015;}
+else{az-=dx*0.008;el=Math.max(-1.55,Math.min(1.55,el+dy*0.008));}});
+canvas.addEventListener("wheel",e=>{e.preventDefault();
+dist*=Math.exp(e.deltaY*0.0012);},{passive:false});
+canvas.addEventListener("contextmenu",e=>e.preventDefault());
+draw();
+</script></body></html>
+"""
+
+
+def export_webgl(scene, path, colors=None):
+    """Self-contained HTML WebGL scene viewer
+    (software/SfM/SfMWebGLViewer/ + main_openMVG2WebGL.cpp counterpart):
+    point cloud + camera frusta with orbit/pan/zoom controls, all data
+    embedded base64 (no external assets — works offline via file://)."""
+    import base64
+
+    from openmvg_tpu.geometry.frustum import frustum_corners
+
+    X = np.asarray(scene.X[scene.X_valid], np.float32)
+    if colors is None:
+        # height colormap fallback (colorize CLI can pass real colors)
+        if len(X):
+            h = X[:, 1]
+            t = (h - h.min()) / max(float(np.ptp(h)), 1e-9)
+            colors = np.stack([64 + 160 * t, 96 + 80 * (1 - t),
+                               200 - 140 * t], 1).astype(np.uint8)
+        else:
+            colors = np.zeros((0, 3), np.uint8)
+    else:
+        colors = np.asarray(colors, np.uint8)
+        if len(colors) == scene.n_landmarks:
+            colors = colors[np.asarray(scene.X_valid)]
+    # camera frusta as line segments (8 edges per camera)
+    scale = 0.05 * (np.linalg.norm(X.max(0) - X.min(0)) if len(X) else 1.0)
+    segs = []
+    for v in _posed_views(scene):
+        pid = scene.view_pose[v]
+        iid = int(scene.view_intrinsic[v])
+        K = _K_of(scene, iid)
+        R, C = scene.pose_R[pid], scene.pose_C[pid]
+        w, h = int(scene.cameras.width[iid]), int(scene.cameras.height[iid])
+        far = np.asarray(frustum_corners(K, R, C, w, h, 1e-3 * scale, scale))[4:]
+        for a, b in ((0, 1), (1, 2), (2, 3), (3, 0)):
+            segs += [far[a], far[b]]
+        for corner in far:
+            segs += [C, corner]
+    cam = (np.asarray(segs, np.float32) if segs
+           else np.zeros((0, 3), np.float32))
+
+    b64 = lambda a: base64.b64encode(np.ascontiguousarray(a).tobytes()).decode()
+    html = (_WEBGL_TEMPLATE
+            .replace("__NPTS__", str(len(X)))
+            .replace("__NCAMS__", str(len(segs) // 16))
+            .replace("__PTS__", b64(X))
+            .replace("__COL__", b64(colors))
+            .replace("__CAM__", b64(cam)))
+    with open(path, "w") as f:
+        f.write(html)
+    return True

@@ -244,3 +244,23 @@ def test_mvstexturing_projection_consistency(tmp_path):
         u = fl * max(w, h) * xc[0] / xc[2] + ppx * w
         vv = fl * max(w, h) * xc[1] / xc[2] + ppy * h
         np.testing.assert_allclose([u, vv], sc.obs_x[idx], atol=1e-6)
+
+
+def test_export_webgl(tmp_path):
+    s, sc = _scene()
+    out = str(tmp_path / "viewer.html")
+    assert exporters.export_webgl(sc, out)
+    html = open(out).read()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "webgl" in html and "drawArrays" in html
+    # embedded buffers decode to the right sizes
+    import base64
+    import re
+
+    pts = base64.b64decode(
+        re.search(r'PTS = new Float32Array\(Uint8Array\.from\(atob\("([^"]*)"\)', html).group(1))
+    n_pts = len(pts) // 12
+    assert n_pts == int(np.asarray(sc.X_valid).sum())
+    cam = base64.b64decode(
+        re.search(r'CAM = new Float32Array\(Uint8Array\.from\(atob\("([^"]*)"\)', html).group(1))
+    assert len(cam) // 12 == 16 * 6  # 8 line segments per camera, 6 cameras
