@@ -205,15 +205,28 @@ def cmd_matches(args):
         counts[v] = len(d)
     descs_j = jnp.asarray(stack)
     counts_j = jnp.asarray(counts)
-    method = ("cascade" if args.nearest_matching_method.upper()
-              in ("FASTCASCADEHASHINGL2", "CASCADEHASHINGL2") else "bruteforce")
+    mname = args.nearest_matching_method.upper()
+    method = ("cascade" if mname in ("FASTCASCADEHASHINGL2",
+                                     "CASCADEHASHINGL2")
+              else "kdtree" if mname in ("ANNL2", "KDTREE")
+              else "bruteforce")
     kw = {}
     if method == "cascade":
         kw["proj"] = matching.make_hash_projections(jax.random.PRNGKey(0))
         kw["mean"] = jnp.asarray(stack[0, :max(counts[0], 1)].mean(0),
                                  jnp.float32)
 
-    def run_pairs(d_j, c_j, pair_list):
+    def run_pairs(d_j, c_j, pair_list, d_list=None):
+        if method == "kdtree":
+            # host kd-tree path (FLANN ANNL2 parity; exact 2-NN)
+            d_list = descs if d_list is None else d_list
+            res_out = {}
+            for (i, j) in pair_list:
+                m = matching.match_kdtree(d_list[i], d_list[j],
+                                          ratio=args.ratio)
+                if len(m):
+                    res_out[(int(i), int(j))] = m
+            return res_out
         res_out = {}
         B = 16
         for s in range(0, len(pair_list), B):
@@ -234,11 +247,14 @@ def cmd_matches(args):
         kpad = 1 << int(np.ceil(np.log2(max(k, 64))))
         pstack = np.zeros((V, kpad, 128), np.uint8)
         pcounts = np.zeros(V, np.int32)
+        plist = []
         for v in range(V):
             fs, ds = matching.preemptive_subset(feats[v], descs[v], k)
             pstack[v, : len(ds)] = ds
             pcounts[v] = len(ds)
-        pre = run_pairs(jnp.asarray(pstack), jnp.asarray(pcounts), pairs)
+            plist.append(ds)
+        pre = run_pairs(jnp.asarray(pstack), jnp.asarray(pcounts), pairs,
+                        d_list=plist)
         thr = 0.08 * k
         pairs = [pq for pq, m in pre.items() if len(m) >= thr]
         print(f"preemptive: kept {len(pairs)} pairs "

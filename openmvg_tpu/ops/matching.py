@@ -273,3 +273,36 @@ def matches_to_dict(pair_ij, result: MatchResult):
             out[(int(pair_ij[p, 0]), int(pair_ij[p, 1]))] = np.stack(
                 [sel, idx_b[p][sel]], axis=1).astype(np.int64)
     return out
+
+
+def match_kdtree(desc_a, desc_b, ratio=0.8):
+    """Exact kd-tree 2-NN matcher on the host (FLANN kd-tree parity,
+    matching/matcher_kdtree_flann.hpp:34 — scipy cKDTree instead of the
+    vendored FLANN).  Same ratio + best-per-right-index dedupe semantics
+    as match_brute_force; returns (M, 2) int64 match indices.
+
+    This exists for flag compatibility and CPU-only environments; the MXU
+    brute-force/cascade paths dominate it on TPU (SURVEY §2.9).
+    """
+    from scipy.spatial import cKDTree
+
+    a = np.asarray(desc_a, np.float32)
+    b = np.asarray(desc_b, np.float32)
+    if len(a) == 0 or len(b) < 2:
+        return np.zeros((0, 2), np.int64)
+    tree = cKDTree(b)
+    d, idx = tree.query(a, k=2)          # euclidean
+    d1, d2 = d[:, 0] ** 2, d[:, 1] ** 2  # squared, like the device path
+    keep = d1 < (ratio * ratio) * d2
+    idx1 = idx[:, 0]
+    # best-per-right-index dedupe, lowest row on ties
+    order = np.lexsort((np.arange(len(a)), d1))
+    seen = np.zeros(len(b), bool)
+    rows = []
+    for r in order:
+        if keep[r] and not seen[idx1[r]]:
+            seen[idx1[r]] = True
+            rows.append(r)
+    rows = np.sort(np.asarray(rows, np.int64))
+    return np.stack([rows, idx1[rows]], 1) if len(rows) else \
+        np.zeros((0, 2), np.int64)

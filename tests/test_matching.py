@@ -87,3 +87,23 @@ def test_match_pair_batch_and_padding():
     inv[perm] = np.arange(50)
     good = sum(1 for i, j in m01 if i < 50 and inv[i] == j)
     assert good > 45
+
+
+def test_kdtree_matches_bruteforce():
+    """ANNL2 kd-tree host path (FLANN parity) agrees with the MXU
+    brute-force matcher exactly (both are exact 2-NN + ratio + dedupe)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(90, 128)).astype(np.uint8)
+    b = rng.integers(0, 256, size=(110, 128)).astype(np.uint8)
+    # plant unambiguous matches so the ratio filter keeps some
+    b[10:40] = a[5:35] + rng.integers(0, 3, size=(30, 128)).astype(np.uint8)
+
+    res = matching.match_brute_force(jnp.asarray(a), jnp.asarray(b), ratio=0.8)
+    mask = np.asarray(res.mask)
+    bf = np.stack([np.nonzero(mask)[0],
+                   np.asarray(res.idx_b)[mask]], 1)
+    kd = matching.match_kdtree(a, b, ratio=0.8)
+    assert len(kd) > 20
+    assert np.array_equal(np.sort(bf, 0), np.sort(kd, 0))
