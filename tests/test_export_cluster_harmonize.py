@@ -264,3 +264,39 @@ def test_export_webgl(tmp_path):
     cam = base64.b64decode(
         re.search(r'CAM = new Float32Array\(Uint8Array\.from\(atob\("([^"]*)"\)', html).group(1))
     assert len(cam) // 12 == 16 * 6  # 8 line segments per camera, 6 cameras
+
+
+def test_rerun_viewer_logging():
+    """log_scene drives the rerun API shape correctly (fake SDK module)."""
+    from openmvg_tpu.utils import rerun_viewer
+
+    s, sc = _scene()
+    calls = []
+
+    class _Obj:
+        def __init__(self, *a, **k):
+            self.a, self.k = a, k
+
+    class FakeRR:
+        class ViewCoordinates:
+            RDF = "RDF"
+        Points3D = _Obj
+        Transform3D = _Obj
+        Pinhole = _Obj
+        Quaternion = _Obj
+        EncodedImage = _Obj
+
+        @staticmethod
+        def log(entity, *a, **k):
+            calls.append((entity, a, k))
+
+    n = rerun_viewer.log_scene(sc, FakeRR)
+    ents = [c[0] for c in calls]
+    assert "world/points" in ents
+    assert sum(e.startswith("world/camera/") for e in ents) == 2 * 6
+    pts = [c for c in calls if c[0] == "world/points"][0][1][0]
+    assert len(pts.a[0]) == int(np.asarray(sc.X_valid).sum())
+    # camera transform is cam-to-world: translation == camera center
+    cam_calls = [c for c in calls if c[0].startswith("world/camera/")
+                 and isinstance(c[1][0], _Obj) and "translation" in c[1][0].k]
+    assert len(cam_calls) == 6
