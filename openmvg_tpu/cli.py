@@ -647,10 +647,18 @@ def cmd_list_pairs(args):
 
 
 def cmd_convert_matches(args):
-    """main_ConvertMatches.cpp: matches bin <-> txt."""
+    """main_ConvertMatches.cpp: matches bin <-> txt; optional adjacency-
+    matrix SVG (the Qt ImageGraphViewer's view, ui/ImageGraphViewer)."""
     from openmvg_tpu.io.matches_io import load_matches, save_matches
 
-    save_matches(load_matches(args.input_file), args.output_file)
+    matches = load_matches(args.input_file)
+    save_matches(matches, args.output_file)
+    if getattr(args, "adjacency_svg", None):
+        from openmvg_tpu.utils.report import svg_adjacency_matrix
+
+        n = 1 + max((max(i, j) for (i, j) in matches), default=0)
+        svg_adjacency_matrix(n, matches, args.adjacency_svg)
+        print(f"adjacency matrix -> {args.adjacency_svg}")
     print(f"converted {args.input_file} -> {args.output_file}")
     return 0
 
@@ -1091,6 +1099,7 @@ def main(argv=None):
     p = sub.add_parser("convert-matches")
     p.add_argument("-i", "--input_file", required=True)
     p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("-a", "--adjacency_svg", default=None)
     p.set_defaults(fn=cmd_convert_matches)
 
     p = sub.add_parser("matches2tracks")

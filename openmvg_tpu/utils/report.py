@@ -144,3 +144,31 @@ def export_pose_graph_dot(pairs, path, weights=None):
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return True
+
+
+def svg_adjacency_matrix(n_views, matches, path, cell=12):
+    """View-pair adjacency matrix (ui/ImageGraphViewer counterpart as SVG):
+    cell (i, j) shaded by match count; symmetric."""
+    counts = np.zeros((n_views, n_views))
+    for (i, j), m in matches.items():
+        counts[i, j] = counts[j, i] = len(m)
+    vmax = counts.max() or 1.0
+    size = n_views * cell + 2
+    parts = [f'<svg width="{size}" height="{size}" '
+             f'xmlns="http://www.w3.org/2000/svg">',
+             f'<rect width="{size}" height="{size}" fill="white"/>']
+    for i in range(n_views):
+        for j in range(n_views):
+            if counts[i, j] <= 0:
+                continue
+            t = counts[i, j] / vmax
+            shade = int(255 * (1.0 - 0.85 * t))
+            parts.append(
+                f'<rect x="{1 + j * cell}" y="{1 + i * cell}" '
+                f'width="{cell - 1}" height="{cell - 1}" '
+                f'fill="rgb({shade},{shade},255)">'
+                f'<title>({i},{j}): {int(counts[i, j])}</title></rect>')
+    parts.append("</svg>")
+    with open(path, "w") as f:
+        f.write("".join(parts))
+    return path

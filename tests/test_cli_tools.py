@@ -147,3 +147,14 @@ def test_guided_matching_filter():
     k = (0, 1)
     assert len(guided[k]) > len(plain[k])
     assert len(guided[k]) >= 60  # most of the 80 correspondences recovered
+
+
+def test_adjacency_matrix_svg(tmp_path):
+    from openmvg_tpu.utils.report import svg_adjacency_matrix
+
+    matches = {(0, 1): np.ones((10, 2), np.int64),
+               (1, 2): np.ones((40, 2), np.int64)}
+    out = svg_adjacency_matrix(3, matches, str(tmp_path / "adj.svg"))
+    svg = open(out).read()
+    assert svg.startswith("<svg") and svg.count("<rect") == 1 + 4
+    assert "(1,2): 40" in svg
