@@ -25,3 +25,23 @@ _xb._backend_factories.pop("axon", None)  # drop the TPU-tunnel plugin for CPU t
 # the env override above is too late for jax.config — update it explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    """Free compiled executables when the test module changes.
+
+    The full suite compiles hundreds of jitted programs; letting them all
+    accumulate in the XLA:CPU backend has produced a segfault inside
+    backend_compile on this host (~150 tests in).  Per-module clearing
+    bounds the live-executable count at a small recompile cost.
+    """
+    mod = request.module.__name__
+    if _last_module[0] is not None and _last_module[0] != mod:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
