@@ -26,6 +26,19 @@ def frustum_corners(K, R, C, w, h, z_near, z_far):
     return np.concatenate(out, axis=0)
 
 
+def box_corners(bb_min, bb_max):
+    """8 corners of an axis-aligned box (geometry/box.hpp Box), ordered
+    bottom(4)+top(4) to match the frustum near/far corner convention, so
+    the same separating-plane test covers frustum-box intersection
+    (frustum_box_intersection_test.cpp)."""
+    x0, y0, z0 = np.asarray(bb_min, float)
+    x1, y1, z1 = np.asarray(bb_max, float)
+    return np.array([
+        [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+        [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1],
+    ])
+
+
 def _planes_from_frustum(corners, apex=None):
     """Outward plane normals of the convex hull of a pyramidal frustum
     given its 8 corners ordered near(4) + far(4)."""

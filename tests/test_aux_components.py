@@ -51,6 +51,24 @@ def test_frustum_intersection():
     assert not frustum.frusta_intersect(ca, cd)
 
 
+def test_frustum_box_intersection():
+    # frustum_box_intersection_test.cpp analogue: a frustum looking down +z
+    # against axis-aligned boxes in front / behind / containing it
+    K = np.array([[500.0, 0, 250], [0, 500, 250], [0, 0, 1]])
+    ca = frustum.frustum_corners(K, np.eye(3), np.zeros(3), 500, 500, 0.1, 10.0)
+    inside = frustum.box_corners([-0.5, -0.5, 1.0], [0.5, 0.5, 2.0])
+    assert frustum.frusta_intersect(ca, inside)
+    behind = frustum.box_corners([-0.5, -0.5, -5.0], [0.5, 0.5, -1.0])
+    assert not frustum.frusta_intersect(ca, behind)
+    side = frustum.box_corners([50.0, 50.0, 1.0], [52.0, 52.0, 2.0])
+    assert not frustum.frusta_intersect(ca, side)
+    containing = frustum.box_corners([-100, -100, -100], [100, 100, 100])
+    assert frustum.frusta_intersect(ca, containing)
+    # box-box via the same machinery
+    assert frustum.frusta_intersect(inside, containing)
+    assert not frustum.frusta_intersect(inside, behind)
+
+
 def test_kmeans_and_vlad():
     rng = np.random.default_rng(0)
     centers_true = rng.normal(size=(4, 16)) * 10
