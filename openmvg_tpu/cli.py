@@ -64,6 +64,19 @@ def cmd_init(args):
             params.append(p)
         intr_of_view.append(group_key[key])
         scene.view_filename.append(f)
+        if args.use_pose_prior:
+            gps = exif.get("gps")
+            if gps and "lat" in gps and "lon" in gps:
+                from openmvg_tpu.geometry.geodesy import lla_to_ecef
+
+                if scene.prior_center is None:
+                    scene.prior_center = np.zeros((len(files), 3))
+                    scene.prior_center_weight = np.zeros((len(files), 3))
+                v = len(scene.view_filename) - 1
+                scene.prior_center[v] = np.asarray(lla_to_ecef(
+                    gps["lat"], gps["lon"], gps.get("alt", 0.0)))
+                scene.prior_center_weight[v] = [
+                    float(x) for x in args.prior_weights.split(";")]
     n = len(files)
     scene.view_intrinsic = np.asarray(intr_of_view, np.int32)
     scene.view_pose = np.arange(n, dtype=np.int32)
@@ -893,6 +906,193 @@ def cmd_refine(args):
     return 0
 
 
+def cmd_geo_register(args):
+    """Register a reconstruction onto GPS positions
+    (Geodesy/registration_to_exif_gps_position.cpp): EXIF GPS per view ->
+    ECEF, robust (LMedS) 7DoF similarity fit, scene transformed in place."""
+    from openmvg_tpu.geometry.geodesy import lla_to_ecef
+    from openmvg_tpu.io.image import read_exif
+    from openmvg_tpu.io.ply import save_scene_ply
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.sfm.gps_registration import register_to_gps
+
+    scene = _load_scene(args.input_file)
+    if args.use_priors:
+        scene, sim = register_to_gps(scene, use_priors_from_scene=True)
+    else:
+        views, positions = [], []
+        for v in range(scene.n_views):
+            exif = read_exif(os.path.join(scene.root_path,
+                                          scene.view_filename[v]))
+            gps = exif.get("gps")
+            if gps and "lat" in gps and "lon" in gps:
+                views.append(v)
+                positions.append(np.asarray(lla_to_ecef(
+                    gps["lat"], gps["lon"], gps.get("alt", 0.0))))
+        if len(views) < 3:
+            print(f"only {len(views)} views with EXIF GPS (need >= 3)",
+                  file=sys.stderr)
+            return 1
+        pids = scene.view_pose[np.asarray(views)]
+        ok = (pids >= 0) & scene.pose_valid[np.clip(pids, 0, None)]
+        from openmvg_tpu.sfm.gps_registration import (
+            apply_similarity_to_scene, fit_similarity_lmeds)
+        sim = fit_similarity_lmeds(scene.pose_C[pids[ok]],
+                                   np.asarray(positions)[ok])
+        scene = apply_similarity_to_scene(scene, sim)
+    save_sfm_data(scene, args.output_file)
+    if args.ply:
+        save_scene_ply(scene, args.ply)
+    print(f"registered (scale={float(np.asarray(sim.scale)):.6g}) -> "
+          f"{args.output_file}")
+    return 0
+
+
+def cmd_export_keypoints(args):
+    """SVG keypoint visualization per view (export/main_exportKeypoints.cpp
+    via features/svg_features.cpp)."""
+    from openmvg_tpu.utils.report import svg_features
+
+    scene = _load_scene(args.input_file)
+    feats, _ = _load_features_for_scene(scene, args.matchdir)
+    os.makedirs(args.outputDirectory, exist_ok=True)
+    for v in range(scene.n_views):
+        stem = os.path.splitext(os.path.basename(scene.view_filename[v]))[0]
+        svg_features(tuple(scene.view_wh[v]), feats[v],
+                     os.path.join(args.outputDirectory, stem + ".svg"))
+    print(f"{scene.n_views} keypoint SVGs -> {args.outputDirectory}")
+    return 0
+
+
+def cmd_export_matches(args):
+    """SVG side-by-side match visualization per pair
+    (export/main_exportMatches.cpp via matching/svg_matches.cpp)."""
+    from openmvg_tpu.io.matches_io import load_matches
+    from openmvg_tpu.utils.report import svg_matches
+
+    scene = _load_scene(args.input_file)
+    matchdir = args.matchdir or os.path.dirname(args.matches)
+    feats, _ = _load_features_for_scene(scene, matchdir)
+    matches = load_matches(args.matches)
+    os.makedirs(args.outputDirectory, exist_ok=True)
+    for (i, j), m in sorted(matches.items()):
+        svg_matches(tuple(scene.view_wh[i]), tuple(scene.view_wh[j]),
+                    feats[i], feats[j], np.asarray(m),
+                    os.path.join(args.outputDirectory, f"{i:05d}_{j:05d}.svg"))
+    print(f"{len(matches)} match SVGs -> {args.outputDirectory}")
+    return 0
+
+
+def cmd_export_tracks(args):
+    """SVG track visualization per pair: matches colored by fused track
+    (export/main_exportTracks.cpp)."""
+    from openmvg_tpu.io.matches_io import load_matches
+    from openmvg_tpu.sfm.tracks import build_tracks
+    from openmvg_tpu.utils.report import svg_tracks
+
+    scene = _load_scene(args.input_file)
+    matchdir = args.matchdir or os.path.dirname(args.matches)
+    feats, _ = _load_features_for_scene(scene, matchdir)
+    matches = load_matches(args.matches)
+    tracks = build_tracks(matches, min_length=2)
+    # per-view feature-id -> track-id index
+    by_view = {}
+    for tid, v, f in zip(tracks.track_id, tracks.view_id, tracks.feat_id):
+        by_view.setdefault(int(v), {})[int(f)] = int(tid)
+    os.makedirs(args.outputDirectory, exist_ok=True)
+    n_svg = 0
+    for (i, j), m in sorted(matches.items()):
+        rows = []
+        for (fa, fb) in np.asarray(m):
+            tid = by_view.get(i, {}).get(int(fa))
+            if tid is not None and by_view.get(j, {}).get(int(fb)) == tid:
+                rows.append((int(fa), int(fb)))
+        if not rows:
+            continue
+        svg_tracks(tuple(scene.view_wh[i]), tuple(scene.view_wh[j]),
+                   feats[i], feats[j], rows,
+                   os.path.join(args.outputDirectory, f"{i:05d}_{j:05d}.svg"))
+        n_svg += 1
+    print(f"{n_svg} track SVGs ({tracks.n_tracks} tracks) -> "
+          f"{args.outputDirectory}")
+    return 0
+
+
+def cmd_harmonize(args):
+    """Global color harmonization (software/colorHarmonize): per image a
+    gain/offset per channel so matched-keypoint color quantiles agree
+    across every matched pair (reference solves the L-inf program with
+    OSI-CLP; here IRLS-L1 on the same 10-quantile constraints), then the
+    harmonized copies are written out."""
+    from openmvg_tpu.io.image import read_image
+    from openmvg_tpu.io.matches_io import load_matches
+    from openmvg_tpu.sfm import color_harmonization as ch
+
+    scene = _load_scene(args.input_file)
+    matchdir = args.matchdir or os.path.dirname(args.matches)
+    feats, _ = _load_features_for_scene(scene, matchdir)
+    matches = load_matches(args.matches)
+    if not matches:
+        print("no matches", file=sys.stderr)
+        return 1
+
+    images = {}
+
+    def img_of(v):
+        if v not in images:
+            im = np.asarray(read_image(
+                os.path.join(scene.root_path, scene.view_filename[v])),
+                np.float64)
+            if im.ndim == 2:
+                im = im[..., None].repeat(3, -1)
+            images[v] = im / 255.0
+        return images[v]
+
+    def samples(v, rows):
+        im = img_of(v)
+        h, w = im.shape[:2]
+        xy = feats[v][rows, :2]
+        xi = np.clip(xy[:, 0].astype(int), 0, w - 1)
+        yi = np.clip(xy[:, 1].astype(int), 0, h - 1)
+        return im[yi, xi]  # (M, 3)
+
+    n = scene.n_views
+    # reference-image selection: most matched image (the reference's
+    # automatic mode picks the best-connected view)
+    counts = np.zeros(n)
+    for (i, j), m in matches.items():
+        counts[i] += len(m)
+        counts[j] += len(m)
+    ref = int(np.argmax(counts)) if args.reference < 0 else args.reference
+
+    gains = np.ones((n, 3))
+    offsets = np.zeros((n, 3))
+    for c in range(3):
+        pair_data = {}
+        for (i, j), m in matches.items():
+            if len(m) < 4:
+                continue
+            sa = samples(i, m[:, 0])[:, c]
+            sb = samples(j, m[:, 1])[:, c]
+            pair_data[(i, j)] = ch.pair_quantiles(sa, sb)
+        g, o = ch.solve_gain_offset(n, pair_data, ref_image=ref)
+        gains[:, c] = g
+        offsets[:, c] = o
+
+    os.makedirs(args.outputDirectory, exist_ok=True)
+    from PIL import Image as PILImage
+    for v in range(n):
+        im = np.clip(img_of(v) * gains[v] + offsets[v], 0.0, 1.0)
+        out = PILImage.fromarray((im * 255.0 + 0.5).astype(np.uint8))
+        out.save(os.path.join(args.outputDirectory,
+                              os.path.basename(scene.view_filename[v])))
+        print(f"  {scene.view_filename[v]}: gain={gains[v].round(3)} "
+              f"offset={offsets[v].round(3)}")
+    print(f"harmonized {n} images (reference view {ref}) -> "
+          f"{args.outputDirectory}")
+    return 0
+
+
 def cmd_retrieval_quality(args):
     """main_MatchingRetrievalQuality.cpp: recall/precision of a putative
     pair list against GT pairs (from a matches file, or from landmark
@@ -952,6 +1152,10 @@ def main(argv=None):
     p.add_argument("-f", "--focal", type=float, default=None)
     p.add_argument("-c", "--camera_model", type=int, default=3)
     p.add_argument("-g", "--group_camera_model", type=int, default=1)
+    p.add_argument("-P", "--use_pose_prior", action="store_true",
+                   help="store EXIF GPS (-> ECEF) as pose-center priors "
+                        "(main_SfMInit_ImageListing -P)")
+    p.add_argument("-W", "--prior_weights", default="1.0;1.0;1.0")
     p.set_defaults(fn=cmd_init)
 
     p = sub.add_parser("features")
@@ -1153,6 +1357,44 @@ def main(argv=None):
     p.add_argument("-f", "--refine_intrinsic_config", default="ADJUST_ALL")
     p.add_argument("--ply", default="")
     p.set_defaults(fn=cmd_refine)
+
+    p = sub.add_parser("geo-register")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-o", "--output_file", required=True)
+    p.add_argument("--use_priors", action="store_true",
+                   help="use GPS priors stored in the scene instead of "
+                        "re-reading EXIF")
+    p.add_argument("--ply", default=None)
+    p.set_defaults(fn=cmd_geo_register)
+
+    p = sub.add_parser("export-keypoints")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-d", "--matchdir", required=True)
+    p.add_argument("-o", "--outputDirectory", required=True)
+    p.set_defaults(fn=cmd_export_keypoints)
+
+    p = sub.add_parser("export-matches")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--matches", required=True)
+    p.add_argument("-d", "--matchdir", default=None)
+    p.add_argument("-o", "--outputDirectory", required=True)
+    p.set_defaults(fn=cmd_export_matches)
+
+    p = sub.add_parser("export-tracks")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--matches", required=True)
+    p.add_argument("-d", "--matchdir", default=None)
+    p.add_argument("-o", "--outputDirectory", required=True)
+    p.set_defaults(fn=cmd_export_tracks)
+
+    p = sub.add_parser("harmonize")
+    p.add_argument("-i", "--input_file", required=True)
+    p.add_argument("-m", "--matches", required=True)
+    p.add_argument("-d", "--matchdir", default=None)
+    p.add_argument("-o", "--outputDirectory", required=True)
+    p.add_argument("-r", "--reference", type=int, default=-1,
+                   help="reference view id (-1 = best-connected)")
+    p.set_defaults(fn=cmd_harmonize)
 
     p = sub.add_parser("retrieval-quality")
     p.add_argument("-i", "--input_file", default="")

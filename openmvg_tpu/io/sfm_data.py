@@ -97,13 +97,26 @@ def _doc_from_scene(scene: Scene, parts: int = ALL):
                 "id_intrinsic": int(scene.view_intrinsic[v]),
                 "id_pose": int(scene.view_pose[v]),
             }
-            doc["views"].append({
-                "key": int(v),
-                "value": {
+            # GPS pose-center prior -> a ViewPriors node (sfm_view_priors_io.hpp)
+            has_prior = (scene.prior_center is not None
+                         and scene.prior_center_weight is not None
+                         and np.any(scene.prior_center_weight[v] > 0))
+            if has_prior:
+                data["use_pose_center_prior"] = True
+                data["center_weight"] = [
+                    float(x) for x in scene.prior_center_weight[v]]
+                data["center"] = [float(x) for x in scene.prior_center[v]]
+                pid, pname = ids.poly("view_priors")
+                value = {"polymorphic_id": pid}
+                if pname is not None:
+                    value["polymorphic_name"] = pname
+                value["ptr_wrapper"] = {"id": ids.ptr(), "data": data}
+            else:
+                value = {
                     "polymorphic_id": 1073741824,
                     "ptr_wrapper": {"id": ids.ptr(), "data": data},
-                },
-            })
+                }
+            doc["views"].append({"key": int(v), "value": value})
     if parts & INTRINSICS:
         cams = scene.cameras
         for i in range(scene.n_intrinsics):
@@ -203,7 +216,7 @@ def _scene_from_doc(doc, parts: int = ALL) -> Scene:
             scene.view_wh[k] = [d["width"], d["height"]]
             scene.view_intrinsic[k] = _undef(d["id_intrinsic"])
             scene.view_pose[k] = _undef(d["id_pose"])
-            if "use_pose_center" in d and d.get("use_pose_center"):
+            if d.get("use_pose_center_prior") or d.get("use_pose_center"):
                 has_prior = True
                 prior_c[k] = d.get("center", [0, 0, 0])
                 w = d.get("center_weight", [1, 1, 1])

@@ -93,7 +93,7 @@ class _R:
 def save_sfm_data_bin(scene: Scene, path: str, parts: int = ALL):
     w = _W()
     w.u8(1)  # endian flag
-    w.s("0.3")
+    w.s("0.4")  # 0.4 adds a per-view GPS pose-center prior block
     w.s(scene.root_path)
     # views
     n_views = scene.n_views if parts & VIEWS else 0
@@ -106,6 +106,13 @@ def save_sfm_data_bin(scene: Scene, path: str, parts: int = ALL):
         w.u32(v)
         w.u32(scene.view_intrinsic[v])
         w.u32(scene.view_pose[v])
+        has_prior = (scene.prior_center is not None
+                     and scene.prior_center_weight is not None
+                     and np.any(scene.prior_center_weight[v] > 0))
+        w.u8(1 if has_prior else 0)
+        if has_prior:
+            w.f64s(scene.prior_center[v])
+            w.f64s(scene.prior_center_weight[v])
     # intrinsics
     n_intr = scene.n_intrinsics if parts & INTRINSICS else 0
     w.u64(n_intr)
@@ -172,16 +179,19 @@ def load_sfm_data_bin(path: str, parts: int = ALL) -> Scene:
     with open(path, "rb") as f:
         r = _R(f.read())
     r.u8()
-    r.s()  # version
+    version = r.s()
     scene = Scene(root_path=r.s())
     # views
     n = r.u64()
     if n:
         rows = []
+        priors = []
         for _ in range(n):
             key = r.u32()
             rows.append((key, r.s(), r.u32(), r.u32(), r.u32(), r.u32(),
                          r.u32()))
+            if version >= "0.4" and r.u8():
+                priors.append((key, r.f64s(3), r.f64s(3)))
         size = max(k for k, *_ in rows) + 1
         scene.view_filename = [""] * size
         scene.view_wh = np.zeros((size, 2), np.int32)
@@ -192,6 +202,12 @@ def load_sfm_data_bin(path: str, parts: int = ALL) -> Scene:
             scene.view_wh[k] = [wdt, hgt]
             scene.view_intrinsic[k] = np.int32(iid if iid < 2**31 else -1)
             scene.view_pose[k] = np.int32(pid if pid < 2**31 else -1)
+        if priors:
+            scene.prior_center = np.zeros((size, 3))
+            scene.prior_center_weight = np.zeros((size, 3))
+            for (k, c, wgt) in priors:
+                scene.prior_center[k] = c
+                scene.prior_center_weight[k] = wgt
     # intrinsics
     n = r.u64()
     if n:

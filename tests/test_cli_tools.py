@@ -158,3 +158,61 @@ def test_adjacency_matrix_svg(tmp_path):
     svg = open(out).read()
     assert svg.startswith("<svg") and svg.count("<rect") == 1 + 4
     assert "(1,2): 40" in svg
+
+
+def test_export_svg_visualizations(tmp_path):
+    """export-keypoints / export-matches / export-tracks write one SVG per
+    view / per pair (main_exportKeypoints/Matches/Tracks parity)."""
+    from openmvg_tpu.io.features_io import save_descs, save_feats
+
+    sp, mp = _setup(tmp_path)
+    sc = load_sfm_data(sp)
+    mdir = tmp_path / "m"
+    mdir.mkdir()
+    rng = np.random.default_rng(0)
+    for v in range(sc.n_views):
+        stem = os.path.splitext(os.path.basename(sc.view_filename[v]))[0]
+        feats = np.concatenate([rng.uniform(0, 999, (20, 2)),
+                                np.ones((20, 2))], 1)
+        save_feats(str(mdir / f"{stem}.feat"), feats)
+        save_descs(str(mdir / f"{stem}.desc"), np.zeros((20, 128), np.uint8))
+
+    kdir = tmp_path / "keys"
+    assert main(["export-keypoints", "-i", sp, "-d", str(mdir),
+                 "-o", str(kdir)]) == 0
+    svgs = [f for f in os.listdir(kdir) if f.endswith(".svg")]
+    assert len(svgs) == sc.n_views
+    assert "<svg" in open(kdir / svgs[0]).read()
+
+    mdir_out = tmp_path / "msvg"
+    assert main(["export-matches", "-i", sp, "-m", mp, "-d", str(mdir),
+                 "-o", str(mdir_out)]) == 0
+    assert len(os.listdir(mdir_out)) == 4  # one per matched pair
+
+    tdir = tmp_path / "tsvg"
+    assert main(["export-tracks", "-i", sp, "-m", mp, "-d", str(mdir),
+                 "-o", str(tdir)]) == 0
+    # identity matches on chained pairs fuse into tracks covering each pair
+    assert len(os.listdir(tdir)) == 4
+    assert "<line" in open(tdir / os.listdir(tdir)[0]).read()
+
+
+def test_geo_register_cli(tmp_path):
+    """geo-register with scene GPS priors: a known similarity between pose
+    centers and priors is recovered and applied."""
+    rng = np.random.default_rng(3)
+    sp, _ = _setup(tmp_path)
+    sc = load_sfm_data(sp)
+    # synthesize priors = s R C + t of the current centers
+    s_true = 2.5
+    from openmvg_tpu.geometry.so3 import expmap
+    R_true = np.asarray(expmap(np.array([0.1, -0.2, 0.3])))
+    t_true = np.array([10.0, -5.0, 2.0])
+    sc.prior_center = s_true * sc.pose_C @ R_true.T + t_true
+    sc.prior_center_weight = np.ones((sc.n_views, 3))
+    save_sfm_data(sc, sp)
+
+    out = str(tmp_path / "geo.json")
+    assert main(["geo-register", "-i", sp, "-o", out, "--use_priors"]) == 0
+    reg = load_sfm_data(out)
+    np.testing.assert_allclose(reg.pose_C, sc.prior_center, atol=1e-4)

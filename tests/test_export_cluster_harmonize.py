@@ -300,3 +300,61 @@ def test_rerun_viewer_logging():
     cam_calls = [c for c in calls if c[0].startswith("world/camera/")
                  and isinstance(c[1][0], _Obj) and "translation" in c[1][0].k]
     assert len(cam_calls) == 6
+
+
+def test_harmonize_cli(tmp_path):
+    """colorHarmonize parity through the CLI: image 1/2 are gain/offset
+    distortions of image 0; after harmonize their pixels at matched
+    keypoints agree with the reference image again."""
+    from openmvg_tpu.cli import main
+    from openmvg_tpu.io.features_io import save_descs, save_feats
+    from openmvg_tpu.io.image import read_image, write_image
+    from openmvg_tpu.io.matches_io import save_matches
+    from openmvg_tpu.io.sfm_data import save_sfm_data
+    from openmvg_tpu.sfm.scene import Scene
+
+    rng = np.random.default_rng(0)
+    size = 64
+    base = rng.uniform(0.2, 0.8, size=(size, size, 3))
+    true = [(1.0, 0.0), (1.25, -0.05), (0.8, 0.08)]
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    sc = Scene()
+    sc.root_path = str(imgdir)
+    n = 3
+    sc.view_filename = [f"im{v}.png" for v in range(n)]
+    sc.view_intrinsic = np.zeros(n, np.int32)
+    sc.view_pose = np.arange(n, dtype=np.int32)
+    sc.view_wh = np.tile([[size, size]], (n, 1)).astype(np.int32)
+    from openmvg_tpu.models import cameras as cm
+    sc.cameras = cm.make_pinhole(size, size, 100.0, size / 2, size / 2)
+    for v, (g, o) in enumerate(true):
+        write_image(str(imgdir / f"im{v}.png"), np.clip(g * base + o, 0, 1))
+    save_sfm_data(sc, str(tmp_path / "sfm_data.json"))
+
+    # features on a grid, identity matches (same pixel in every image)
+    gx, gy = np.meshgrid(np.arange(4, size - 4, 3), np.arange(4, size - 4, 3))
+    xy = np.stack([gx.ravel(), gy.ravel()], 1).astype(np.float64)
+    feats = np.concatenate([xy, np.ones((len(xy), 2))], 1)
+    mdir = tmp_path / "matches"
+    mdir.mkdir()
+    for v in range(n):
+        save_feats(str(mdir / f"im{v}.feat"), feats)
+        save_descs(str(mdir / f"im{v}.desc"),
+                   np.zeros((len(xy), 128), np.uint8))
+    ident = np.stack([np.arange(len(xy))] * 2, 1)
+    save_matches({(0, 1): ident, (0, 2): ident, (1, 2): ident},
+                 str(mdir / "matches.f.bin"))
+
+    outdir = tmp_path / "harmonized"
+    assert main(["harmonize", "-i", str(tmp_path / "sfm_data.json"),
+                 "-m", str(mdir / "matches.f.bin"),
+                 "-o", str(outdir), "-r", "0"]) == 0
+    ref = np.asarray(read_image(str(outdir / "im0.png")), float)
+    for v in (1, 2):
+        out = np.asarray(read_image(str(outdir / f"im{v}.png")), float)
+        before = np.asarray(read_image(str(imgdir / f"im{v}.png")), float)
+        err_after = np.abs(out - ref).mean()
+        err_before = np.abs(before - ref).mean()
+        assert err_after < 0.25 * err_before, (v, err_after, err_before)
+        assert err_after < 3.0  # /255 scale: within ~3 gray levels

@@ -151,3 +151,45 @@ def test_sfm_data_xml_roundtrip(tmp_path):
     back2 = load_sfm_data(jpath)
     np.testing.assert_allclose(back2.X[back2.X_valid], sc.X[sc.X_valid],
                                atol=1e-12)
+
+
+def test_gps_prior_roundtrip(tmp_path):
+    """ViewPriors survive JSON (use_pose_center_prior / center /
+    center_weight, sfm_view_priors_io.hpp field names) and the 0.4 bin
+    framing; views without a prior stay prior-free."""
+    from tests.test_ba import scene_from_ring
+    from openmvg_tpu.io.sfm_data_bin import (load_sfm_data_bin,
+                                             save_sfm_data_bin)
+    from openmvg_tpu.utils.synthetic import ring_scene
+
+    sc = scene_from_ring(ring_scene(n_views=4, n_points=10, seed=0), seed=1)
+    sc.prior_center = np.zeros((4, 3))
+    sc.prior_center_weight = np.zeros((4, 3))
+    sc.prior_center[1] = [1.5, -2.0, 3.25]
+    sc.prior_center_weight[1] = [1.0, 1.0, 2.0]
+    sc.prior_center[3] = [-4.0, 0.5, 9.0]
+    sc.prior_center_weight[3] = [0.5, 0.5, 0.5]
+
+    jp = str(tmp_path / "s.json")
+    sfm_data.save_sfm_data(sc, jp)
+    import json as _json
+    doc = _json.load(open(jp))
+    d1 = doc["views"][1]["value"]["ptr_wrapper"]["data"]
+    assert d1["use_pose_center_prior"] is True
+    assert d1["center"] == [1.5, -2.0, 3.25]
+    assert doc["views"][1]["value"].get("polymorphic_name") == "view_priors"
+    assert "use_pose_center_prior" not in \
+        doc["views"][0]["value"]["ptr_wrapper"]["data"]
+
+    back = sfm_data.load_sfm_data(jp)
+    np.testing.assert_allclose(back.prior_center[1], sc.prior_center[1])
+    np.testing.assert_allclose(back.prior_center_weight[3],
+                               sc.prior_center_weight[3])
+    assert np.all(back.prior_center_weight[0] == 0)
+
+    bp = str(tmp_path / "s.bin")
+    save_sfm_data_bin(sc, bp)
+    back2 = load_sfm_data_bin(bp)
+    np.testing.assert_allclose(back2.prior_center[1], sc.prior_center[1])
+    np.testing.assert_allclose(back2.prior_center_weight[1], [1, 1, 2])
+    assert np.all(back2.prior_center_weight[2] == 0)
