@@ -3,13 +3,21 @@
 Measures the headline kernel (SURVEY §6 / BASELINE "matched pairs/s per
 chip"): brute-force 2-NN ratio matching of 128-d uint8 SIFT descriptors,
 4096 features per image, as `ops/matching.match_pair_batch` runs it on the
-MXU.  Baseline = the same computation on this host's CPU via numpy/BLAS
-(stand-in for openMVG's AVX2 matcher, which the reference does not publish
-numbers for — BASELINE.md: baselines must be measured).
+MXU (fused Pallas 2-NN kernel on TPU).  Baseline = the same computation on
+this host's CPU via numpy/BLAS (stand-in for openMVG's AVX2 matcher, which
+the reference does not publish numbers for — BASELINE.md: baselines must
+be measured).
+
+Timing methodology: the axon tunnel's block_until_ready does NOT block on
+device completion, so the batch is iterated inside a lax.scan with an
+optimization_barrier-carried dependency and timed by the n=1 vs n=NSCAN
+slope after a device->host readback of the scalar checksum — pure device
+throughput, no dispatch/RTT artifacts.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import time
 
@@ -18,7 +26,7 @@ import numpy as np
 N_FEATS = 4096
 DIM = 128
 PAIR_BATCH = 16
-N_BATCHES = 8
+N_SCAN = 9
 
 
 def cpu_pairs_per_s(descs, n_pairs=2):
@@ -53,30 +61,36 @@ def main():
 
     descs = jnp.asarray(descs_np)
     counts = jnp.full((V,), N_FEATS, jnp.int32)
-    base_pairs = jnp.asarray(
-        [[0, 1 + (i % PAIR_BATCH)] for i in range(PAIR_BATCH)], jnp.int32)
+    pairs = jnp.asarray([[0, 1 + i] for i in range(PAIR_BATCH)], jnp.int32)
 
-    def batch(k):
-        # rotate the pair list every call so no result caching can hide work
-        p = (base_pairs + k) % V
-        return p.at[:, 0].set(k % PAIR_BATCH)
+    @functools.partial(jax.jit, static_argnames="n")
+    def run(descs, counts, pairs, n):
+        def body(carry, _):
+            d, acc = carry
+            r = matching.match_pair_batch(d, counts, pairs)
+            acc = acc + r.mask.sum() + r.idx_b.sum()
+            # the barrier forces every scan iteration to execute (without
+            # it XLA hoists the loop-invariant body out of the scan)
+            d, acc = jax.lax.optimization_barrier((d, acc))
+            return (d, acc), ()
+        (_, acc), _ = jax.lax.scan(body, (descs, jnp.int32(0)), None,
+                                   length=n)
+        return acc
 
-    # warmup/compile (two distinct arg sets to cover the rotated shape)
-    for k in range(2):
-        res = matching.match_pair_batch(descs, counts, batch(k))
-    jax.block_until_ready(res.mask)
+    for n in (1, N_SCAN):  # compile both lengths
+        np.asarray(run(descs, counts, pairs, n))
 
     # best of several trials: the TPU is reached through a shared tunnel
-    # whose throughput varies with external load; max is the honest
-    # capability number
-    pairs_per_s = 0.0
-    for _ in range(5):
-        t0 = time.perf_counter()
-        outs = [matching.match_pair_batch(descs, counts, batch(k))
-                for k in range(N_BATCHES)]
-        jax.block_until_ready([o.mask for o in outs])
-        dt = time.perf_counter() - t0
-        pairs_per_s = max(pairs_per_s, PAIR_BATCH * N_BATCHES / dt)
+    # whose throughput varies with external load; min time is the honest
+    # capability number.  np.asarray forces a real device round-trip.
+    t = {1: 1e9, N_SCAN: 1e9}
+    for _ in range(4):
+        for n in (1, N_SCAN):
+            t0 = time.perf_counter()
+            np.asarray(run(descs, counts, pairs, n))
+            t[n] = min(t[n], time.perf_counter() - t0)
+    per_batch = (t[N_SCAN] - t[1]) / (N_SCAN - 1)
+    pairs_per_s = PAIR_BATCH / per_batch
 
     print(json.dumps({
         "metric": "bruteforce_sift_matching_4096x4096",

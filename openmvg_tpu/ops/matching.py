@@ -139,6 +139,23 @@ def match_brute_force(desc_a, desc_b, valid_a=None, valid_b=None, ratio=0.8):
                        mask=keep, dist=d1)
 
 
+@partial(jax.jit, static_argnames=("ratio",))
+def match_brute_force_fused(desc_a, desc_b, valid_a=None, valid_b=None,
+                            ratio=0.8):
+    """match_brute_force on the fused Pallas 2-NN kernel: the (N, M)
+    distance matrix never leaves VMEM (ops/pallas_matching.py).  Same
+    contract; ~4x the XLA path's throughput on a v5e chip."""
+    from openmvg_tpu.ops.pallas_matching import two_nn_fused
+
+    d1, d2, idx1 = two_nn_fused(desc_a, desc_b, valid_b)
+    keep = ratio_filter(d1, d2, ratio)
+    if valid_a is not None:
+        keep = keep & valid_a
+    keep = dedupe_right(idx1, keep, d1, desc_b.shape[0])
+    return MatchResult(idx_a=jnp.arange(desc_a.shape[0]), idx_b=idx1,
+                       mask=keep, dist=d1)
+
+
 def _unpack_bits_pm1(packed):
     """(N, B) uint8 -> (N, 8B) +/-1 bf16 sign codes."""
     weights = jnp.asarray(2 ** np.arange(8), jnp.uint8)
@@ -245,15 +262,25 @@ def match_pair_batch(descs, counts, pair_ij, proj=None, mean=None,
 
     descs (V, Nmax, D) padded stack, counts (V,), pair_ij (P, 2).
     Returns MatchResult with leading dim (P, Nmax).
+
+    method: "bruteforce" auto-selects the fused Pallas kernel on TPU
+    ("bruteforce_fused" / "bruteforce_xla" pin a path), "cascade" the
+    Hamming-prefiltered matcher.
     """
     Nmax = descs.shape[1]
     col = jnp.arange(Nmax)
+    if method == "bruteforce":
+        method = ("bruteforce_fused" if jax.default_backend() == "tpu"
+                  else "bruteforce_xla")
 
     def one(pair):
         i, j = pair[0], pair[1]
         va = col < counts[i]
         vb = col < counts[j]
-        if method == "bruteforce":
+        if method == "bruteforce_fused":
+            return match_brute_force_fused(descs[i], descs[j], va, vb,
+                                           ratio=ratio)
+        if method == "bruteforce_xla":
             return match_brute_force(descs[i], descs[j], va, vb, ratio=ratio)
         return match_cascade(descs[i], descs[j], proj, mean, va, vb,
                              ratio=ratio, top_c=top_c)
