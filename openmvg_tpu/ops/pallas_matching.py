@@ -1,24 +1,27 @@
 """Pallas TPU kernel: fused descriptor-distance + running 2-NN.
 
 The XLA path (ops/matching.py) materializes the (N, M) distance matrix in
-HBM and reduces it in separate passes; this kernel tiles column blocks
-through VMEM, computes the partial distance block on the MXU and folds it
-into running (best, second-best, argbest) accumulators — the distance
-matrix never touches HBM.  Grid iterates over column tiles; row tiles
-ride the first grid axis.
+HBM and reduces it in separate passes; this kernel tiles the distance
+computation through VMEM and folds each tile into running (best,
+second-best, argbest) accumulators — the distance matrix never touches
+HBM.
 
-uint8 descriptors ride the double-rate bf16 MXU path (u8 values and the
-f32 accumulator are exact in bf16xbf16->f32, matching ops/matching.py's
-u8_exact_bf16 route bit-for-bit); float descriptors use f32.
+Layout: the tile is computed TRANSPOSED, d_T[m, n] = |b_m - a_n|^2, so
+the per-a-row 2-NN reduction runs along the SUBLANE axis (a chain of
+elementwise vreg mins) instead of the lane axis (log2(128) shuffle steps
+per vreg) — measured ~3x faster on v5e than the row-major variant this
+file used to hold.
 
-Parity: same contract as ops/matching.two_nn over l2_distance_matrix
-(bit-exact indices, same first-min tie-breaking).  Measured on one v5e
-chip, 4096x4096x128 u8, 16-pair batches, readback-synced timing (the
-tunnel's block_until_ready does not actually block — earlier numbers
-that said XLA wins at batch were dispatch-time artifacts):
-  XLA match_pair_batch:      ~7.9 ms/batch  (~2.0k pairs/s)
-  fused f32 kernel:          ~2.5 ms/batch  (~6.5k pairs/s)
-  fused bf16 kernel:         see bench.py   (matmul 4x faster than f32)
+uint8 descriptors ride the int8 MXU path (2x the bf16 rate, 4x f32):
+descriptors are centered by 128 into int8 (L2 distances are invariant
+under a common shift) and the cross term accumulates in int32 — the
+whole distance is exact integer arithmetic, bit-identical to
+ops/matching.two_nn over l2_distance_matrix (same first-min tie-breaking).
+Float descriptors use the f32 MXU path.
+
+Parity: same contract as ops/matching.two_nn (reference:
+matching/matcher_brute_force.hpp full distance rows + partial sort;
+metric.hpp / metric_simd.hpp L2 — one systolic-array pass here).
 """
 
 import functools
@@ -29,107 +32,139 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 256   # rows per program
-TILE_M = 512   # columns per step
+TILE_A = 512    # a-rows per output block (lane axis of the transposed tile)
+TILE_B = 1024   # b-rows per step (sublane axis of the transposed tile)
+# swept on v5e at 4096x4096x128 u8: (512,1024) ~0.78 ms/16-pair batch vs
+# (256,1024) ~0.98, (256,512 row-major f32 of round 1) ~2.5
+
+_INT_BIG = np.int32(1 << 29)     # pad distance: beats any real d' but safe
+                                 # against int32 overflow after - 2*cross
+_F32_BIG = np.float32(np.finfo(np.float32).max / 4)
 
 
-def _kernel(a_ref, b_ref, bn_ref, d1_ref, d2_ref, i1_ref):
+def _kernel(is_int, b_ref, a_ref, bn_ref, d1_ref, d2_ref, i1_ref):
     j = pl.program_id(1)
 
-    a = a_ref[:]                      # (TILE_N, D) bf16 | f32
-    b = b_ref[:]                      # (TILE_M, D) bf16 | f32
-    bn = bn_ref[:]                    # (1, TILE_M) f32 |b|^2 (+inf at pads)
-    # partial squared distances: |a|^2 omitted (constant per row — does not
-    # change the argmin ordering; added back by the caller)
-    cross = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    d = bn - 2.0 * cross              # (TILE_N, TILE_M) f32
+    # transposed tile: rows = b indices, cols = a indices
+    cross = jax.lax.dot_general(
+        b_ref[:], a_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32 if is_int else jnp.float32)
+    d = bn_ref[:] - (cross + cross)       # (TILE_B, TILE_A)
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
 
-    # tile-local best and second best
-    loc1 = jnp.min(d, axis=1)
-    arg1 = jnp.argmin(d, axis=1).astype(jnp.int32)
-    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
-    masked = jnp.where(cols == arg1[:, None], big, d)
-    loc2 = jnp.min(masked, axis=1)
-    gidx = arg1 + j * TILE_M
+    # tile-local best / second-best along the sublane axis (argmin is
+    # open-coded — Mosaic only lowers f32 argmin — as min over the row
+    # ids at the minimum: ties resolve to the lowest row = first-min)
+    loc1 = jnp.min(d, axis=0)
+    at_min = d == loc1[None, :]
+    arg1 = jnp.min(jnp.where(at_min, rows, np.int32(2**31 - 1)), axis=0)
+    big = _INT_BIG if is_int else _F32_BIG
+    masked = jnp.where(rows == arg1[None, :], big, d)
+    loc2 = jnp.min(masked, axis=0)
+    gidx = arg1 + j * TILE_B
+
+    # accumulator blocks are (8, TILE_A) — the 8-sublane row is pure
+    # padding (TPU min-tile rule); all rows carry the same values
+    def bcast(v):
+        return jnp.broadcast_to(v[None, :], (8, v.shape[0]))
 
     @pl.when(j == 0)
     def _():
-        d1_ref[:, 0] = loc1
-        d2_ref[:, 0] = loc2
-        i1_ref[:, 0] = gidx
+        d1_ref[:, :] = bcast(loc1)
+        d2_ref[:, :] = bcast(loc2)
+        i1_ref[:, :] = bcast(gidx)
 
     @pl.when(j > 0)
     def _():
-        c1 = d1_ref[:, 0]
-        c2 = d2_ref[:, 0]
-        ci = i1_ref[:, 0]
+        c1 = d1_ref[0, :]
+        c2 = d2_ref[0, :]
+        ci = i1_ref[0, :]
         # merge (c1, c2) with (loc1, loc2); earlier tile wins ties (=
         # global first-min argmin semantics)
         take_new = loc1 < c1
-        new1 = jnp.minimum(c1, loc1)
-        new_i = jnp.where(take_new, gidx, ci)
-        new2 = jnp.minimum(jnp.maximum(c1, loc1), jnp.minimum(c2, loc2))
-        d1_ref[:, 0] = new1
-        d2_ref[:, 0] = new2
-        i1_ref[:, 0] = new_i
+        d1_ref[:, :] = bcast(jnp.minimum(c1, loc1))
+        d2_ref[:, :] = bcast(jnp.minimum(jnp.maximum(c1, loc1),
+                                         jnp.minimum(c2, loc2)))
+        i1_ref[:, :] = bcast(jnp.where(take_new, gidx, ci))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def two_nn_fused(a, b, valid_b=None, interpret=False):
     """(N, D), (M, D) -> (d1, d2, idx1) exact squared-L2 2-NN.
 
-    N, M padded internally to tile multiples; pad columns (and columns
-    masked off by valid_b) get +inf so they never win.  uint8 inputs use
-    the bf16 MXU path (bit-exact for u8), floats stay f32.
+    N, M padded internally to tile multiples; pad rows of b (and rows
+    masked off by valid_b) get a huge |b|^2 so they never win.  uint8
+    inputs use the exact int8 MXU path, floats stay f32.
     """
     N, D = a.shape
     M = b.shape[0]
-    Np = -(-N // TILE_N) * TILE_N
-    Mp = -(-M // TILE_M) * TILE_M
-    mm_dtype = jnp.bfloat16 if a.dtype == jnp.uint8 and b.dtype == jnp.uint8 \
-        else jnp.float32
-    af = a.astype(jnp.float32)
-    bf = b.astype(jnp.float32)
-    am = jnp.zeros((Np, D), mm_dtype).at[:N].set(af.astype(mm_dtype))
-    bm = jnp.zeros((Mp, D), mm_dtype).at[:M].set(bf.astype(mm_dtype))
-    bn = jnp.zeros((Mp,), jnp.float32).at[:M].set(jnp.sum(bf * bf, axis=1))
-    col_ok = jnp.arange(Mp) < M
-    if valid_b is not None:
-        col_ok = col_ok & jnp.pad(valid_b, (0, Mp - M))
-    bn = jnp.where(col_ok, bn, jnp.finfo(jnp.float32).max / 4)
+    Np = -(-N // TILE_A) * TILE_A
+    Mp = -(-M // TILE_B) * TILE_B
+    is_int = a.dtype == jnp.uint8 and b.dtype == jnp.uint8
 
-    grid = (Np // TILE_N, Mp // TILE_M)
+    if is_int:
+        ac = (a.astype(jnp.int32) - 128).astype(jnp.int8)
+        bc = (b.astype(jnp.int32) - 128).astype(jnp.int8)
+        am = jnp.zeros((Np, D), jnp.int8).at[:N].set(ac)
+        bm = jnp.zeros((Mp, D), jnp.int8).at[:M].set(bc)
+        bi = bc.astype(jnp.int32)
+        bn = jnp.zeros((Mp,), jnp.int32).at[:M].set(jnp.sum(bi * bi, axis=1))
+        big = jnp.asarray(_INT_BIG, jnp.int32)
+        acc_dtype = jnp.int32
+    else:
+        af = a.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        am = jnp.zeros((Np, D), jnp.float32).at[:N].set(af)
+        bm = jnp.zeros((Mp, D), jnp.float32).at[:M].set(bf)
+        bn = jnp.zeros((Mp,), jnp.float32).at[:M].set(jnp.sum(bf * bf, axis=1))
+        big = jnp.asarray(_F32_BIG, jnp.float32)
+        acc_dtype = jnp.float32
+
+    row_ok = jnp.arange(Mp) < M
+    if valid_b is not None:
+        row_ok = row_ok & jnp.pad(valid_b, (0, Mp - M))
+    bn = jnp.where(row_ok, bn, big)
+
+    grid = (Np // TILE_A, Mp // TILE_B)
     d1, d2, i1 = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, is_int),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, D), lambda i, j: (i, 0),
+            pl.BlockSpec((TILE_B, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, D), lambda i, j: (j, 0),
+            pl.BlockSpec((TILE_A, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M), lambda i, j: (0, j),
+            pl.BlockSpec((TILE_B, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((8, TILE_A), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((8, TILE_A), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((8, TILE_A), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Np // TILE_A * 8, TILE_A), acc_dtype),
+            jax.ShapeDtypeStruct((Np // TILE_A * 8, TILE_A), acc_dtype),
+            jax.ShapeDtypeStruct((Np // TILE_A * 8, TILE_A), jnp.int32),
         ],
         interpret=interpret,
-    )(am, bm, bn.reshape(1, Mp))
+    )(bm, am, bn.reshape(Mp, 1))
 
-    an = jnp.sum(af * af, axis=1)
-    d1 = d1[:N, 0] + an
-    d2 = d2[:N, 0] + an
-    return jnp.maximum(d1, 0.0), jnp.maximum(d2, 0.0), i1[:N, 0]
+    def unpad(x):
+        return x.reshape(Np // TILE_A, 8, TILE_A)[:, 0, :].reshape(Np)[:N]
+
+    if is_int:
+        ai = a.astype(jnp.int32) - 128
+        an = jnp.sum(ai * ai, axis=1)
+        d1 = (unpad(d1) + an).astype(jnp.float32)
+        d2 = (unpad(d2) + an).astype(jnp.float32)
+    else:
+        an = jnp.sum(a.astype(jnp.float32) ** 2, axis=1)
+        d1 = unpad(d1) + an
+        d2 = unpad(d2) + an
+    i1 = unpad(i1)
+    return jnp.maximum(d1, 0.0), jnp.maximum(d2, 0.0), i1
