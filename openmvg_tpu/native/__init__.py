@@ -45,6 +45,9 @@ def _load():
     lib.omt_tbmr.restype = i64
     lib.omt_tbmr.argtypes = [p_u8, i64, i64, ctypes.c_int32, i64,
                              ctypes.c_double, p_f64, i64]
+    lib.omt_bench_match_2nn.restype = i64
+    lib.omt_bench_match_2nn.argtypes = [p_u8, i64, p_u8, i64, i64,
+                                        ctypes.c_double, p_i32, p_i32]
     _lib = lib
     return _lib
 
@@ -106,3 +109,21 @@ def tbmr_native(img_u8, invert, min_size, max_rel_size, max_out=8192):
     if m < 0:
         return None
     return out[:m]
+
+
+def bench_match_2nn(desc_a, desc_b, ratio=0.8):
+    """CPU AVX2+OpenMP brute-force 2-NN + ratio matcher (the openMVG-CPU
+    baseline for bench.py; matching/metric_simd.hpp:33 is the design it
+    mirrors).  Returns (idx, keep) int32 arrays or None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(desc_a, np.uint8)
+    b = np.ascontiguousarray(desc_b, np.uint8)
+    idx = np.empty(len(a), np.int32)
+    keep = np.empty(len(a), np.int32)
+    r = lib.omt_bench_match_2nn(a, len(a), b, len(b), a.shape[1],
+                                float(ratio), idx, keep)
+    if r < 0:
+        return None
+    return idx, keep

@@ -327,3 +327,78 @@ int64_t omt_tbmr(const uint8_t* img, int64_t w, int64_t h, int32_t invert,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CPU baseline brute-force 2-NN matcher for bench.py.
+//
+// Functional equivalent of the reference's production matcher configuration
+// (matching/matcher_brute_force.hpp rows + metric_simd.hpp AVX2 uint8 L2,
+// OpenMP parallel-for as in Matcher_Regions.cpp): for every left
+// descriptor, squared-L2 distances to all right descriptors, keep the two
+// smallest, ratio-test d1 < r^2*d2.  This is the honest "openMVG-CPU"
+// number the TPU kernel is compared against (the reference binaries cannot
+// be built in this environment: the cereal/osi_clp submodules are empty
+// and there is no network).
+// ---------------------------------------------------------------------------
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+extern "C" {
+
+int64_t omt_bench_match_2nn(const uint8_t* a, int64_t n, const uint8_t* b,
+                            int64_t m, int64_t dim, double ratio,
+                            int32_t* out_idx, int32_t* out_keep) {
+  if (dim % 32 != 0) return -1;
+  const double r2 = ratio * ratio;
+  int64_t kept = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(+ : kept)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* ai = a + i * dim;
+    int32_t best = INT32_MAX, second = INT32_MAX, arg = -1;
+    for (int64_t j = 0; j < m; ++j) {
+      const uint8_t* bj = b + j * dim;
+      int32_t d = 0;
+#if defined(__AVX2__)
+      __m256i acc = _mm256_setzero_si256();
+      for (int64_t k = 0; k < dim; k += 32) {
+        const __m256i va = _mm256_loadu_si256((const __m256i*)(ai + k));
+        const __m256i vb = _mm256_loadu_si256((const __m256i*)(bj + k));
+        // |va - vb| per u8 lane, then widen and square-accumulate
+        const __m256i df = _mm256_sub_epi8(_mm256_max_epu8(va, vb),
+                                           _mm256_min_epu8(va, vb));
+        const __m256i lo = _mm256_unpacklo_epi8(df, _mm256_setzero_si256());
+        const __m256i hi = _mm256_unpackhi_epi8(df, _mm256_setzero_si256());
+        acc = _mm256_add_epi32(acc, _mm256_madd_epi16(lo, lo));
+        acc = _mm256_add_epi32(acc, _mm256_madd_epi16(hi, hi));
+      }
+      alignas(32) int32_t lanes[8];
+      _mm256_store_si256((__m256i*)lanes, acc);
+      d = lanes[0] + lanes[1] + lanes[2] + lanes[3] + lanes[4] + lanes[5] +
+          lanes[6] + lanes[7];
+#else
+      for (int64_t k = 0; k < dim; ++k) {
+        const int32_t df = (int32_t)ai[k] - (int32_t)bj[k];
+        d += df * df;
+      }
+#endif
+      if (d < best) {
+        second = best;
+        best = d;
+        arg = (int32_t)j;
+      } else if (d < second) {
+        second = d;
+      }
+    }
+    out_idx[i] = arg;
+    const int k = (double)best < r2 * (double)second;
+    out_keep[i] = k;
+    kept += k;
+  }
+  return kept;
+}
+
+}  // extern "C"
