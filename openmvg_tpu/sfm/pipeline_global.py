@@ -34,7 +34,7 @@ from openmvg_tpu.ops import translation_averaging as ta
 from openmvg_tpu.sfm import ba, filters
 from openmvg_tpu.sfm.pipeline_incremental import (
     _TrackIndex, _bearings, _pad_pow2, _shared_track_corr, _run_ba,
-    _reconstruct_tracks,
+    _reconstruct_tracks, relative_pose_batch,
 )
 from openmvg_tpu.sfm import robust
 from openmvg_tpu.sfm.scene import Scene, rmse
@@ -74,41 +74,20 @@ def _log(cfg, *m):
 
 
 def compute_relative_poses(scene, index, pairs, cfg, key):
-    """Relative_Pose_Engine: robust two-view pose for every pair.
+    """Relative_Pose_Engine: robust two-view pose for every pair, batched —
+    every pow2-size bucket of pairs runs its AC-RANSAC as ONE vmapped
+    device call (relative_pose_engine.cpp:144-191 is a per-pair OpenMP
+    loop; see pipeline_incremental.relative_pose_batch).
 
     Returns {(i, j): dict(R, t, n_inliers, inlier_tracks)}.
     """
-    out = {}
-    for n_pair, (va, vb) in enumerate(pairs):
-        xa, xb, track_ids = _shared_track_corr(index, va, vb)
-        n = len(track_ids)
-        if n < 15:
-            continue
-        bearings_a = _bearings(scene, np.full(n, va), xa)
-        bearings_b = _bearings(scene, np.full(n, vb), xb)
-        (xa_p, xb_p, ba_p, bb_p), k = _pad_pow2([xa, xb, bearings_a, bearings_b], n)
-        valid = np.arange(k) < n
-        Ka = np.asarray(cm.K_matrix(jnp.asarray(
-            scene.cameras.params[scene.view_intrinsic[va]])))
-        Kb = np.asarray(cm.K_matrix(jnp.asarray(
-            scene.cameras.params[scene.view_intrinsic[vb]])))
-        wh = scene.view_wh[vb]
-        angular = (
-            int(scene.cameras.kind[scene.view_intrinsic[va]]) == cm.SPHERICAL
-            or int(scene.cameras.kind[scene.view_intrinsic[vb]]) == cm.SPHERICAL)
-        info = robust.robust_relative_pose(
-            jax.random.fold_in(key, n_pair), jnp.asarray(ba_p),
-            jnp.asarray(bb_p), jnp.asarray(xa_p), jnp.asarray(xb_p),
-            jnp.asarray(Ka), jnp.asarray(Kb), jnp.asarray(valid),
-            float(wh[0]), float(wh[1]), n_samples=cfg.ransac_samples,
-            angular=angular)
-        if not bool(info.found):
-            continue
-        inl = np.asarray(info.inliers)[:n]
-        out[(int(va), int(vb))] = dict(
-            R=np.asarray(info.R), t=np.asarray(info.t),
-            n_inliers=int(inl.sum()), inlier_tracks=track_ids[inl])
-    return out
+    infos = relative_pose_batch(scene, index, list(pairs), key,
+                                n_samples=cfg.ransac_samples)
+    return {
+        pair: dict(R=r["R"], t=r["t"], n_inliers=r["n_inliers"],
+                   inlier_tracks=r["track_ids"][r["inliers"]])
+        for pair, r in infos.items()
+    }
 
 
 def _shared_track_corr3(index, va, vb, vc):

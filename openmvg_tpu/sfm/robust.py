@@ -228,6 +228,21 @@ def robust_relative_pose(key, b1, b2, x1, x2, K1, K2, valid, w2, h2,
                             found=found)
 
 
+@partial(jax.jit, static_argnames=("n_samples", "angular"))
+def robust_relative_pose_batch(keys, b1, b2, x1, x2, K1, K2, valid, w2, h2,
+                               n_samples=1024, angular=False):
+    """robust_relative_pose vmapped over a pair batch — the device half of
+    the batched Relative_Pose_Engine (relative_pose_engine.cpp:144-191 is
+    an OpenMP loop over pairs; here every pair's whole AC-RANSAC runs in
+    one device program).
+
+    keys (P, 2), b*/x* (P, K, 3|2), K1/K2 (P, 3, 3), valid (P, K),
+    w2/h2 (P,).  Returns a RelativePoseInfo with leading dim P.
+    """
+    f = partial(robust_relative_pose, n_samples=n_samples, angular=angular)
+    return jax.vmap(f)(keys, b1, b2, x1, x2, K1, K2, valid, w2, h2)
+
+
 # ---------------------------------------------------------------------------
 # resection (localization): P3P + pixel reprojection NFA
 # ---------------------------------------------------------------------------
