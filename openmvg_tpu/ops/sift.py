@@ -53,6 +53,11 @@ class SiftConfig(NamedTuple):
     ori_grid: int = 16               # orientation window quadrature
     desc_grid: int = 16              # descriptor window quadrature
     root_sift: bool = False
+    # ULTRA preset: first_octave = -1 upsamples the input 2x so the scale
+    # space starts at delta_min = 0.5 / sigma_min = 0.8
+    # (hierarchical_gaussian_scale_space.hpp:77 SetImage, and the ULTRA
+    # params of SIFT_Anatomy_Image_Describer.hpp:140)
+    first_octave: int = 0
 
 
 class SiftFeatures(NamedTuple):
@@ -85,10 +90,37 @@ def _blur(img, sigma):
     return x.reshape(lead + x.shape[-2:])
 
 
+def _upsample2(img):
+    """2x linear upsample: out[i, j] = bilinear(src, i/2, j/2), clamped at
+    the far edge (image_resampling.hpp:70 ImageUpsample)."""
+    def up_axis(a, ax):
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(a, 1, a.shape[ax], axis=ax),
+             jax.lax.slice_in_dim(a, a.shape[ax] - 1, a.shape[ax], axis=ax)],
+            axis=ax)
+        mid = 0.5 * (a + nxt)
+        st = jnp.stack([a, mid], axis=ax + 1 if ax >= 0 else a.ndim + ax + 1)
+        shape = list(a.shape)
+        shape[ax] = shape[ax] * 2
+        return st.reshape(shape)
+
+    return up_axis(up_axis(img, img.ndim - 2), img.ndim - 1)
+
+
 def build_scale_space(image, cfg: SiftConfig):
     """image (H, W) float32 in [0,1] -> list of per-octave level stacks
-    [(N_LEVELS, H_o, W_o)] with sigmas (absolute) per level."""
-    img = _blur(image, float(np.sqrt(SIGMA_MIN**2 - SIGMA_IN**2)))
+    [(N_LEVELS, H_o, W_o)] with sigmas (absolute input-image units) per
+    level.  Octave-pixel sigma ladders are identical for every
+    first_octave: the ULTRA ratio sigma_min/delta_min = 0.8/0.5 equals the
+    NORMAL 1.6/1.0, so only the input (upsampled 2x) and the assumed input
+    blur in octave pixels (sigma_in/delta_min) change."""
+    delta0 = 2.0 ** cfg.first_octave
+    if cfg.first_octave == -1:
+        image = _upsample2(image)
+    elif cfg.first_octave != 0:
+        raise ValueError("first_octave must be 0 or -1 "
+                         "(hierarchical_gaussian_scale_space.hpp SetImage)")
+    img = _blur(image, float(np.sqrt(SIGMA_MIN**2 - (SIGMA_IN / delta0)**2)))
     octaves = []
     sigmas = []
     for o in range(cfg.n_octaves):
@@ -99,7 +131,7 @@ def build_scale_space(image, cfg: SiftConfig):
             levels.append(_blur(levels[-1], float(inc)))
         stack = jnp.stack(levels)
         octaves.append(stack)
-        sigmas.append(SIGMA_MIN * 2.0 ** o *
+        sigmas.append(SIGMA_MIN * delta0 * 2.0 ** o *
                       2.0 ** (np.arange(N_LEVELS) / N_SLICES))
         img = levels[N_SLICES][..., ::2, ::2]
     return octaves, sigmas
@@ -332,7 +364,7 @@ def extract(image, cfg: SiftConfig = SiftConfig(), upright=False):
     octaves, _ = build_scale_space(image, cfg)
     outs = []
     for o, stack in enumerate(octaves):
-        delta = 2.0 ** o
+        delta = 2.0 ** (o + cfg.first_octave)
         kp = _detect_octave(stack, cfg, o)
         gy, gx = jnp.gradient(stack, axis=(-2, -1))
         if upright:

@@ -15,20 +15,27 @@ import numpy as np
 from openmvg_tpu.ops import sift
 
 PRESETS = {
-    "NORMAL": dict(peak_threshold=0.04),
-    "HIGH": dict(peak_threshold=0.01),
-    "ULTRA": dict(peak_threshold=0.01),  # upsampling pending
+    # SIFT_Anatomy_Image_Describer.hpp:88-107/140: NORMAL peak 0.04,
+    # HIGH 0.01, ULTRA 0.01 + upsampled first octave (delta_min 0.5)
+    "NORMAL": dict(peak_threshold=0.04, first_octave=0),
+    "HIGH": dict(peak_threshold=0.01, first_octave=0),
+    "ULTRA": dict(peak_threshold=0.01, first_octave=-1),
 }
 
 
 def make_config(method="SIFT", preset="NORMAL", max_features=8192,
                 image_shape=None):
     p = PRESETS.get(preset.upper(), PRESETS["NORMAL"])
-    n_oct = 4
+    first_octave = p["first_octave"]
+    n_oct = 4 - first_octave
     if image_shape is not None:
-        n_oct = max(1, min(6, int(np.log2(min(image_shape) / 16))))
+        # octave cap from the (possibly upsampled) base image, >= 32 px
+        # (hierarchical_gaussian_scale_space.hpp SetImage)
+        base = min(image_shape) * (2 if first_octave == -1 else 1)
+        n_oct = max(1, min(6, int(np.log2(base / 16))))
     return sift.SiftConfig(peak_threshold=p["peak_threshold"],
                            n_octaves=n_oct,
+                           first_octave=first_octave,
                            max_per_octave=max(256, max_features // n_oct))
 
 
