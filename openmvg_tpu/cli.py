@@ -75,8 +75,16 @@ def cmd_init(args):
                 v = len(scene.view_filename) - 1
                 scene.prior_center[v] = np.asarray(lla_to_ecef(
                     gps["lat"], gps["lon"], gps.get("alt", 0.0)))
-                scene.prior_center_weight[v] = [
-                    float(x) for x in args.prior_weights.split(";")]
+                try:
+                    w = [float(x) for x in args.prior_weights.split(";")]
+                except ValueError:
+                    w = []
+                if len(w) != 3:
+                    print(f"-W/--prior_weights must be 3 ';'-separated "
+                          f"floats (got {args.prior_weights!r})",
+                          file=sys.stderr)
+                    sys.exit(1)
+                scene.prior_center_weight[v] = w
     n = len(files)
     scene.view_intrinsic = np.asarray(intr_of_view, np.int32)
     scene.view_pose = np.arange(n, dtype=np.int32)
@@ -935,6 +943,10 @@ def cmd_geo_register(args):
             return 1
         pids = scene.view_pose[np.asarray(views)]
         ok = (pids >= 0) & scene.pose_valid[np.clip(pids, 0, None)]
+        if int(ok.sum()) < 3:
+            print(f"only {int(ok.sum())} GPS views have reconstructed "
+                  "poses (need >= 3)", file=sys.stderr)
+            return 1
         from openmvg_tpu.sfm.gps_registration import (
             apply_similarity_to_scene, fit_similarity_lmeds)
         sim = fit_similarity_lmeds(scene.pose_C[pids[ok]],
@@ -1064,6 +1076,10 @@ def cmd_harmonize(args):
         counts[i] += len(m)
         counts[j] += len(m)
     ref = int(np.argmax(counts)) if args.reference < 0 else args.reference
+    if not 0 <= ref < scene.n_views:
+        print(f"--reference view id {ref} out of range [0, {scene.n_views})",
+              file=sys.stderr)
+        return 1
 
     gains = np.ones((n, 3))
     offsets = np.zeros((n, 3))

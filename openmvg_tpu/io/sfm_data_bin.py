@@ -175,6 +175,14 @@ def _write_landmarks(w, scene, enabled):
             w.f64s(scene.obs_x[k])
 
 
+def _version_tuple(version: str):
+    """Numeric version compare ("0.10" > "0.4"; lexicographic would not)."""
+    try:
+        return tuple(int(x) for x in version.split("."))
+    except ValueError:
+        return (0,)
+
+
 def load_sfm_data_bin(path: str, parts: int = ALL) -> Scene:
     with open(path, "rb") as f:
         r = _R(f.read())
@@ -190,7 +198,7 @@ def load_sfm_data_bin(path: str, parts: int = ALL) -> Scene:
             key = r.u32()
             rows.append((key, r.s(), r.u32(), r.u32(), r.u32(), r.u32(),
                          r.u32()))
-            if version >= "0.4" and r.u8():
+            if _version_tuple(version) >= (0, 4) and r.u8():
                 priors.append((key, r.f64s(3), r.f64s(3)))
         size = max(k for k, *_ in rows) + 1
         scene.view_filename = [""] * size
