@@ -335,7 +335,9 @@ def cmd_sfm(args):
                             names.index(os.path.basename(args.initial_pair_b)))
         cfg = IncrementalConfig(verbose=True, refine_intrinsics=refine,
                                 initializer=args.sfm_initializer,
-                                initial_pair=initial_pair)
+                                initial_pair=initial_pair,
+                                engine_version=2 if engine == "INCREMENTALV2"
+                                else 1)
         incremental_sfm(scene, feats, matches, cfg)
     elif engine == "GLOBAL":
         from openmvg_tpu.sfm.pipeline_global import GlobalConfig, global_sfm

@@ -57,6 +57,14 @@ class IncrementalConfig:
     # per-round artifact dumps (sequential_SfM.cpp:200-203 PLY dumps +
     # the npz snapshot = checkpoint/resume for long reconstructions)
     dump_dir: str = ""
+    # engine_version 2 = INCREMENTALV2 (sequential_SfM2.cpp:84-203):
+    # resection admits every unposed view whose reconstructed-track
+    # coverage ratio exceeds the current schedule value {0.2 then 0.0},
+    # resetting to 0.2 whenever poses grow — instead of V1's
+    # 75%-of-best-count group rule; outlier cleanup adds the 2 deg
+    # angle filter (RemoveOutliers_AngleError)
+    engine_version: int = 1
+    v2_track_inlier_ratios: Tuple[float, ...] = (0.2, 0.0)
 
 
 def _log(cfg, *msg):
@@ -411,12 +419,8 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
 
     # ---- incremental loop ---------------------------------------------
     round_id = 0
-    while True:
-        round_id += 1
-        group = _find_resection_group(scene, index, posed, landmark_of_track,
-                                      cfg, failed_rounds)
-        if not group:
-            break
+
+    def _resect_group(group):
         added = 0
         for j, v in enumerate(group):
             ok = _resect_view(scene, index, v, landmark_of_track, cfg,
@@ -426,13 +430,17 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
                 added += 1
             else:
                 failed_rounds[int(v)] = failed_rounds.get(int(v), 0) + 1
-        if added == 0:
-            break
+        return added
+
+    def _round_cleanup(added):
         # add observations of posed views to existing landmarks + new tracks
         _grow_structure(scene, index, posed, landmark_of_track, cfg)
         _run_ba(scene, cfg)
         while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
             _run_ba(scene, cfg)
+        if cfg.engine_version == 2:
+            # sequential_SfM2.cpp:166 RemoveOutliers_AngleError(2.0)
+            filters.remove_outliers_angle_error(scene, 2.0)
         filters.erase_unstable_poses_and_observations(
             scene, cfg.min_points_per_pose)
         # reflect erased landmarks in the track map
@@ -454,6 +462,40 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
                 cfg.dump_dir, f"round_{round_id:03d}.ply"))
             save_snapshot(scene, _os.path.join(
                 cfg.dump_dir, "latest_snapshot.npz"))
+
+    if cfg.engine_version == 2:
+        # INCREMENTALV2 track_inlier_ratio schedule {0.2, 0.0}: advance to
+        # the next (looser) ratio when nothing is added; reset to the
+        # strictest after any growth (sequential_SfM2.cpp:155-183)
+        ratios = list(cfg.v2_track_inlier_ratios)
+        r_idx = 0
+        while r_idx < len(ratios):
+            group = _find_v2_group(scene, index, posed, landmark_of_track,
+                                   ratios[r_idx], failed_rounds)
+            if not group:
+                r_idx += 1
+                continue
+            round_id += 1
+            n_posed_before = len(posed)
+            added = _resect_group(group)
+            if added:
+                _round_cleanup(added)
+            if len(posed) > n_posed_before:
+                r_idx = 0
+            else:
+                r_idx += 1
+    else:
+        while True:
+            round_id += 1
+            group = _find_resection_group(scene, index, posed,
+                                          landmark_of_track, cfg,
+                                          failed_rounds)
+            if not group:
+                break
+            added = _resect_group(group)
+            if added == 0:
+                break
+            _round_cleanup(added)
 
     # final: BA until stable
     _run_ba(scene, cfg)
@@ -518,6 +560,26 @@ def _find_resection_group(scene, index, posed, landmark_of_track, cfg,
     best = max(counts.values())
     group = [v for v, n in counts.items() if n >= cfg.resection_pct * best]
     return sorted(group, key=lambda v: -counts[v])
+
+
+def _find_v2_group(scene, index, posed, landmark_of_track, ratio,
+                   failed_rounds):
+    """AddingMissingView candidate set (sequential_SfM2.cpp:292-380):
+    unposed views whose reconstructed-track coverage
+    n_reconstructed / (n_view_tracks + 1) exceeds `ratio`, ordered by
+    2D-3D count."""
+    tr = index.tracks
+    total = np.bincount(tr.view_id, minlength=scene.n_views)
+    ok_rows = landmark_of_track[tr.track_id] >= 0
+    rec = np.bincount(tr.view_id[ok_rows], minlength=scene.n_views)
+    cover = rec / (total + 1.0)
+    eligible = (rec > 0) & (cover > ratio)
+    eligible[list(posed)] = False
+    for v, f in failed_rounds.items():
+        if f >= 3:
+            eligible[v] = False
+    group = np.nonzero(eligible)[0]
+    return sorted((int(v) for v in group), key=lambda v: -rec[v])
 
 
 def _resect_view(scene, index, v, landmark_of_track, cfg, key):

@@ -82,3 +82,18 @@ def test_incremental_24_views_noisy():
     assert int(sc.pose_valid.sum()) == 24
     assert sc.n_landmarks > 350
     assert rmse(sc) < 0.6
+
+
+def test_incremental_v2_schedule():
+    """INCREMENTALV2 (sequential_SfM2.cpp:84-203): the track_inlier_ratio
+    {0.2, 0.0} AddingMissingView schedule reconstructs the full ring with
+    the same accuracy as V1."""
+    s = ring_scene(n_views=8, n_points=120, seed=0)
+    sc, feats, matches = scene_and_data(s)
+    cfg = IncrementalConfig(ransac_samples=512, resection_samples=512,
+                            min_init_inliers=40, ba_iterations=15,
+                            engine_version=2)
+    incremental_sfm(sc, feats, matches, cfg, seed=0)
+    assert int(sc.pose_valid.sum()) == s.n_views
+    assert sc.n_landmarks > 100
+    assert rmse(sc) < 0.3
