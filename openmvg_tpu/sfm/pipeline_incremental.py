@@ -41,6 +41,10 @@ class IncrementalConfig:
     initial_pair: Optional[Tuple[int, int]] = None
     ransac_samples: int = 1024
     resection_samples: int = 1024
+    # MakeInitialPair3D runs AC-RANSAC at 4096 iterations on the chosen
+    # pair (sequential_SfM.cpp:532); candidate scoring stays at
+    # ransac_samples like the reference's AutomaticInitialPairChoice
+    init_pair_samples: int = 4096
     min_angle_init_deg: float = 3.0
     max_angle_init_deg: float = 60.0
     min_init_inliers: int = 100
@@ -156,8 +160,11 @@ def _shared_track_corr(index: _TrackIndex, va, vb):
     return index.obs_xy[ra[ia]], index.obs_xy[rb[ib]], common
 
 
-def _try_pair(scene, index, cfg, key, va, vb):
-    """Robust relative pose for one candidate pair; returns score info."""
+def _try_pair(scene, index, cfg, key, va, vb, n_samples=None):
+    """Robust relative pose for one candidate pair; returns score info.
+
+    n_samples overrides cfg.ransac_samples (MakeInitialPair3D runs 4096
+    iterations, sequential_SfM.cpp:532)."""
     xa, xb, track_ids = _shared_track_corr(index, va, vb)
     n = len(track_ids)
     if n < max(cfg.min_init_inliers // 2, 15):
@@ -179,7 +186,7 @@ def _try_pair(scene, index, cfg, key, va, vb):
         key, jnp.asarray(ba_p), jnp.asarray(bb_p), jnp.asarray(xa_p),
         jnp.asarray(xb_p), jnp.asarray(Ka), jnp.asarray(Kb),
         jnp.asarray(valid), float(wh_b[0]), float(wh_b[1]),
-        n_samples=cfg.ransac_samples, angular=angular)
+        n_samples=n_samples or cfg.ransac_samples, angular=angular)
     if not bool(info.found):
         return None
     inl = np.asarray(info.inliers)[:n]
@@ -395,6 +402,12 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
             if init is None:
                 raise RuntimeError("no valid initial pair found")
         va, vb = init["view_a"], init["view_b"]
+        if cfg.init_pair_samples > cfg.ransac_samples:
+            refined = _try_pair(scene, index, cfg,
+                                jax.random.fold_in(key, -1), va, vb,
+                                n_samples=cfg.init_pair_samples)
+            if refined is not None:
+                init = refined
         _log(cfg, f"initial pair ({va},{vb}) inliers={init['n_inliers']} "
                   f"angle={init['med_angle']:.1f}")
 
