@@ -404,7 +404,7 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         va, vb = init["view_a"], init["view_b"]
         if cfg.init_pair_samples > cfg.ransac_samples:
             refined = _try_pair(scene, index, cfg,
-                                jax.random.fold_in(key, -1), va, vb,
+                                jax.random.fold_in(key, 2**31 - 1), va, vb,
                                 n_samples=cfg.init_pair_samples)
             if refined is not None:
                 init = refined
