@@ -1,18 +1,37 @@
-"""Stellar SfM reconstruction engine.
+"""Stellar SfM reconstruction engine — per-pod local reconstructions.
 
-Reference parity: sfm/pipelines/stellar/ — StellarSfMReconstructionEngine
-(sfm_stellar_engine.cpp:106): for every pose, a "stellar pod" (the star of
-its adjacent relative-pose edges); Stellar_Solver solves the relative
-translation SCALES between pod edges from 2-uplets sharing tracks
-(Solve2UpletsRelativeScales / relative_scale.hpp, L1 or L2 per
-stellar_definitions.hpp:22-27), producing locally consistent pod motions;
-global rotations come from rotation averaging and global translations from
-the scaled relative motions; then structure + BA.
+Reference parity: sfm/pipelines/stellar/ —
+  StellarSfMReconstructionEngine::Process (sfm_stellar_engine.cpp:106):
+    1. graph simplification MST_X (default, value 5) | STAR_X
+       (selectMST :191, star pruning :267-308)
+    2. Relative_Pose_Engine on the selected pairs
+    3. per pose a "stellar pod" (the star of its adjacent edges):
+       Stellar_Solver (stellar_solver.cpp:236-340) —
+         a. 2-uplets of pod edges -> relative scale from the ratio of
+            median track depths to the CENTRAL pose
+            (EstimateTripletRelativeScale :38-215, >= 15 shared 3-view
+            tracks required)
+         b. per-edge log-scales from the 2-uplet ratios via an L1 solve
+            (stellar_definitions.hpp:183-227 SCALING_SOLVER_L1; here
+            ops/l1_admm.solve_lad), normalized exp(x - max)
+         c. pod-local reconstruction: scaled pod poses, >= 3-view tracks
+            blind-triangulated, BA with intrinsics FIXED, DepthCleaning
+            (5.2 x median), 4 px / 2 deg outlier removal,
+            eraseUnstable(12, 3), second BA (Optimize :361-516); pods
+            with < 3 surviving poses are dropped
+         d. the refined pod poses re-emit relative motions for every pod
+            edge (RelativeCameraMotion, sfm_stellar_engine.cpp:415-430)
+    4. rotation averaging (L2) over ALL pod relative motions (:119-157)
+    5. translation averaging: solve_translations_problem_softl1 with ONE
+       scale per pod (each pod's motions form a RelativeInfo_Vec group,
+       :556-633)
+    6. initial structure (min covisibility 2) + staged BA / outlier
+       cleanup (Adjust, shared with the global engine)
 
-TPU recast: pod scale ratios come from batched 2-view triangulation depth
-medians of shared tracks; the per-pod log-scale least squares and the
-final scaled-translation registration are tiny linear solves; everything
-downstream (triangulation, BA) reuses the shared engine machinery.
+TPU recast: relative poses come from the batched vmapped AC-RANSAC
+engine; per-edge depths are one batched 2-view triangulation per edge;
+pod BAs run the Schur-CG LM solver on pow2-padded problems (pods bucket
+by size, so compiled executables are shared across pods).
 """
 
 import dataclasses
@@ -22,13 +41,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openmvg_tpu.models import cameras as cm
+from openmvg_tpu.ops import l1_admm
 from openmvg_tpu.ops import rotation_averaging as ra
+from openmvg_tpu.ops import translation_averaging as ta
 from openmvg_tpu.ops import triangulation as tri
 from openmvg_tpu.sfm import ba, filters
-from openmvg_tpu.sfm.pipeline_global import compute_relative_poses, _BaCfg, _TriCfg, _staged_ba
+from openmvg_tpu.sfm.pipeline_global import (_BaCfg, _TriCfg, _staged_ba,
+                                             compute_relative_poses)
 from openmvg_tpu.sfm.pipeline_incremental import (_TrackIndex, _bearings,
-                                                  _run_ba, _reconstruct_tracks,
+                                                  _reconstruct_tracks,
+                                                  _run_ba,
                                                   _shared_track_corr)
 from openmvg_tpu.sfm.scene import Scene, rmse
 from openmvg_tpu.sfm.tracks import build_tracks
@@ -45,6 +67,13 @@ class StellarConfig:
     verbose: bool = False
     dtype: object = jnp.float64
     triangulation_angle_deg: float = 2.0
+    # graph simplification (main_SfM.cpp:217-218 defaults)
+    graph_simplification: str = "MST_X"   # MST_X | STAR_X | NONE
+    graph_simplification_value: int = 5
+    # Stellar_Solver knobs
+    min_uplet_tracks: int = 15        # EstimateTripletRelativeScale :152
+    pod_ba_iterations: int = 12
+    min_pod_poses: int = 3
 
 
 def _log(cfg, *m):
@@ -52,66 +81,233 @@ def _log(cfg, *m):
         print("[stellar]", *m)
 
 
-def _edge_depths(scene, index, rel, pair, center):
-    """Distance of each shared track's 3D point to the CENTER view's camera
-    in the 2-view reconstruction of `pair` (scale unit |t_pair| = 1).
+# ---------------------------------------------------------------------------
+# graph simplification (selectMST / STAR_X)
+# ---------------------------------------------------------------------------
 
-    The distance-to-center is proportional to the edge's unknown global
-    scale, so ratios across two edges sharing the center view give their
-    relative scale (Solve2UpletsRelativeScales equivalent)."""
+def _mst_pairs(matches, n_trees=1):
+    """N successive Kruskal MSTs weighted by -match count; selected edges
+    get weight 0 so later trees prefer unused edges (selectMST,
+    sfm_stellar_engine.cpp:191-234)."""
+    pairs = list(matches)
+    nodes = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    weight = {p: -len(matches[p]) for p in pairs}
+    selected = set()
+    for _ in range(n_trees):
+        parent = list(range(len(nodes)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for p in sorted(pairs, key=lambda q: weight[q]):
+            ra_, rb = find(idx[p[0]]), find(idx[p[1]])
+            if ra_ != rb:
+                parent[ra_] = rb
+                selected.add(p)
+                weight[p] = 0
+    return selected
+
+
+def _simplify_graph(matches, cfg):
+    method = cfg.graph_simplification.upper()
+    if method == "NONE":
+        return set(matches)
+    if method == "MST_X":
+        return _mst_pairs(matches, cfg.graph_simplification_value)
+    # STAR_X: keep the N best edges per node (by match count) + 1 MST to
+    # guarantee connectivity (sfm_stellar_engine.cpp:267-308)
+    selected = set()
+    per_node: Dict[int, List[Tuple[int, int]]] = {}
+    for p in matches:
+        per_node.setdefault(p[0], []).append(p)
+        per_node.setdefault(p[1], []).append(p)
+    for v, edges in per_node.items():
+        best = sorted(edges, key=lambda p: -len(matches[p]))
+        selected.update(best[: cfg.graph_simplification_value])
+    selected.update(_mst_pairs(matches, 1))
+    return selected
+
+
+# ---------------------------------------------------------------------------
+# pod relative scales
+# ---------------------------------------------------------------------------
+
+def _edge_depth_map(scene, index, rel, pair, center):
+    """{track_id: distance to the CENTER pose's camera} in the 2-view
+    reconstruction of `pair` (scale |t_pair| = 1) — the depth data of
+    EstimateTripletRelativeScale (stellar_solver.cpp:126-215)."""
     va, vb = pair
     xa, xb, track_ids = _shared_track_corr(index, va, vb)
     if len(track_ids) < 3:
-        return None, None
+        return {}
     n = len(track_ids)
     b1 = _bearings(scene, np.full(n, va), xa)
     b2 = _bearings(scene, np.full(n, vb), xb)
     R = rel[pair]["R"]
     t = rel[pair]["t"]
-    R0 = np.tile(np.eye(3), (n, 1, 1))
-    t0 = np.zeros((n, 3))
-    R1 = np.tile(R, (n, 1, 1))
-    t1 = np.tile(t, (n, 1))
-    X, ok = tri.triangulate_2view(jnp.asarray(R0), jnp.asarray(t0),
-                                  jnp.asarray(b1), jnp.asarray(R1),
-                                  jnp.asarray(t1), jnp.asarray(b2))
+    X, ok = tri.triangulate_2view(
+        jnp.asarray(np.tile(np.eye(3), (n, 1, 1))), jnp.asarray(np.zeros((n, 3))),
+        jnp.asarray(b1), jnp.asarray(np.tile(R, (n, 1, 1))),
+        jnp.asarray(np.tile(t, (n, 1))), jnp.asarray(b2))
     X = np.asarray(X)
     ok = np.asarray(ok) & (np.linalg.norm(X, axis=1) < 1e4)
     C_center = np.zeros(3) if center == va else -R.T @ t
     dist = np.linalg.norm(X - C_center, axis=1)
-    return track_ids[ok], dist[ok]
+    return dict(zip(track_ids[ok].tolist(), dist[ok]))
 
 
-def _pod_scales(scene, index, rel, center, edges, cfg):
-    """Relative |t| scales of the pod's edges (first edge = 1) via shared
-    track depths (Solve2UpletsRelativeScales equivalent: depth ratio of
-    tracks seen by two edges sharing the center view)."""
-    if len(edges) < 2:
-        return {edges[0]: 1.0} if edges else {}
-    # per-edge distance-to-center maps
-    depth_maps = {}
-    for e in edges:
-        tr, dep = _edge_depths(scene, index, rel, e, center)
-        if tr is not None:
-            depth_maps[e] = dict(zip(tr.tolist(), dep))
-    edges_ok = [e for e in edges if e in depth_maps]
-    if not edges_ok:
+def _pod_scales_l1(depth_maps, edges, cfg):
+    """Per-edge |t| scales from 2-uplet median-depth ratios, solved in the
+    log domain under L1 (SCALING_SOLVER_L1, stellar_definitions.hpp:183),
+    first edge pinned, normalized so max scale == 1."""
+    edges_ok = [e for e in edges if depth_maps.get(e)]
+    if len(edges_ok) < 2:
         return {}
-    # log-scale LS over edges: scale of edge = median track depth ratio
-    # against the reference edge through common tracks
-    ref = edges_ok[0]
-    scales = {ref: 1.0}
-    for e in edges_ok[1:]:
-        common = set(depth_maps[ref]) & set(depth_maps[e])
-        if len(common) < 3:
-            continue
-        ratios = [depth_maps[ref][t] / max(depth_maps[e][t], 1e-9)
-                  for t in common]
-        s = float(np.median(ratios))
-        if s > 0 and np.isfinite(s):
-            scales[e] = s
-    return scales
+    eidx = {e: i for i, e in enumerate(edges_ok)}
+    rows = []
+    rhs = []
+    for a in range(len(edges_ok)):
+        for b in range(a + 1, len(edges_ok)):
+            ea, eb = edges_ok[a], edges_ok[b]
+            common = depth_maps[ea].keys() & depth_maps[eb].keys()
+            if len(common) < cfg.min_uplet_tracks:
+                continue
+            med_a = np.median([depth_maps[ea][t] for t in common])
+            med_b = np.median([depth_maps[eb][t] for t in common])
+            if med_a <= 0 or med_b <= 0:
+                continue
+            rows.append((eidx[ea], eidx[eb]))
+            rhs.append(np.log(med_a / med_b))
+    if not rows:
+        return {}
+    # S_a - S_b = log(med_a / med_b), S_0 = 0 (gauge), L1 solve
+    m = len(rows)
+    n = len(edges_ok) - 1
+    A = np.zeros((m, n))
+    for r, (ia, ib) in enumerate(rows):
+        if ia != 0:
+            A[r, ia - 1] = 1.0
+        if ib != 0:
+            A[r, ib - 1] = -1.0
+    if n == 0:
+        return {}
+    x = np.asarray(l1_admm.solve_lad(jnp.asarray(A), jnp.asarray(np.asarray(rhs))))
+    logs = np.concatenate([[0.0], x])
+    logs -= logs.max()
+    scales = np.exp(logs)
+    return {e: float(scales[i]) for e, i in eidx.items()}
 
+
+# ---------------------------------------------------------------------------
+# pod local reconstruction
+# ---------------------------------------------------------------------------
+
+def _pod_sub_scene(scene, rel, edges, center, scales):
+    """Scene with only the pod's poses set: center at identity, each
+    neighbor from its scaled relative pose (stellar_definitions.hpp
+    :239-283 pose upgrade)."""
+    sub = Scene()
+    sub.view_filename = list(scene.view_filename)
+    sub.view_intrinsic = scene.view_intrinsic.copy()
+    sub.view_pose = scene.view_pose.copy()
+    sub.view_wh = scene.view_wh
+    sub.cameras = scene.cameras
+    sub.pose_valid = np.zeros(scene.n_poses, bool)
+    sub.pose_R = np.tile(np.eye(3), (scene.n_poses, 1, 1))
+    sub.pose_C = np.zeros((scene.n_poses, 3))
+
+    def set_pose(v, R, C):
+        pid = scene.view_pose[v]
+        sub.pose_valid[pid] = True
+        sub.pose_R[pid] = R
+        sub.pose_C[pid] = C
+
+    set_pose(center, np.eye(3), np.zeros(3))
+    for e in edges:
+        s = scales.get(e)
+        if s is None or s <= 0:
+            continue
+        R, t = rel[e]["R"], rel[e]["t"]
+        if e[0] == center:
+            # pose of e[1] in center frame, center distance scaled by 1/s
+            set_pose(e[1], R, (-R.T @ t) / s)
+        else:
+            # pose of e[0] in center(=e[1]) frame: R' = R^T, C' = t
+            set_pose(e[0], R.T, t / s)
+    return sub
+
+
+def _pod_reconstruction(scene, index, rel, edges, center, cfg):
+    """Stellar_Solver::Solve + Optimize for one pod; returns refined
+    {pair: (R_ij, t_ij)} relative motions or None."""
+    depth_maps = {e: _edge_depth_map(scene, index, rel, e, center)
+                  for e in edges}
+    scales = _pod_scales_l1(depth_maps, edges, cfg)
+    if len(scales) < 2:
+        return None
+    sub = _pod_sub_scene(scene, rel, edges, center, scales)
+    if int(sub.pose_valid.sum()) < cfg.min_pod_poses:
+        return None
+
+    # >= 3-view tracks over the pod's views, blind triangulation
+    pod_views = {center}
+    for e in scales:
+        pod_views.update(e)
+    posed_mask = np.zeros(scene.n_views, bool)
+    posed_mask[list(pod_views)] = True
+    rows_posed = posed_mask[index.tracks.view_id]
+    cand = np.bincount(index.tracks.track_id[rows_posed],
+                       minlength=index.n_tracks)
+    cand_tracks = np.nonzero(cand >= 3)[0]
+    if len(cand_tracks) < cfg.min_uplet_tracks:
+        return None
+    lot = np.full(index.n_tracks, -1, np.int64)
+
+    class _PodTri:
+        triangulation_angle_deg = 0.0     # blind (Structure_Computation_Blind)
+        max_residual_px = np.inf
+
+    _reconstruct_tracks(sub, index, cand_tracks, lot, _PodTri)
+    if sub.n_landmarks < cfg.min_uplet_tracks:
+        return None
+
+    # BA with intrinsics fixed (Optimize :468-480), cleanup, second BA
+    class _PodBa:
+        refine_intrinsics = ba.ADJUST_NONE
+        ba_iterations = cfg.pod_ba_iterations
+        dtype = cfg.dtype
+
+    _run_ba(sub, _PodBa)
+    filters.depth_cleaning(sub, 5.2, 12, 3)
+    filters.remove_outliers_pixel_residual(sub, 4.0, 3)
+    filters.remove_outliers_angle_error(sub, 2.0)
+    filters.erase_unstable_poses_and_observations(sub, 12, 3)
+    if int(sub.pose_valid.sum()) < cfg.min_pod_poses:
+        return None
+    _run_ba(sub, _PodBa)
+
+    # refined relative motions for every still-valid pod edge
+    out = {}
+    for e in scales:
+        pa, pb = scene.view_pose[e[0]], scene.view_pose[e[1]]
+        if not (sub.pose_valid[pa] and sub.pose_valid[pb]):
+            continue
+        Ri, Ci = sub.pose_R[pa], sub.pose_C[pa]
+        Rj, Cj = sub.pose_R[pb], sub.pose_C[pb]
+        R_ij = Rj @ Ri.T
+        ti = -Ri @ Ci
+        tj = -Rj @ Cj
+        out[e] = (R_ij, tj - R_ij @ ti)
+    return out if len(out) >= 2 else None
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
 
 def stellar_sfm(scene: Scene, features: List[np.ndarray],
                 matches: Dict[Tuple[int, int], np.ndarray],
@@ -120,58 +316,66 @@ def stellar_sfm(scene: Scene, features: List[np.ndarray],
     tracks = build_tracks(matches, min_length=2)
     index = _TrackIndex(tracks, features)
 
+    selected = _simplify_graph(matches, cfg)
     keep_nodes = graphlib.largest_biedge_connected_component(list(matches))
-    pairs = [p for p in matches if p[0] in keep_nodes and p[1] in keep_nodes]
+    pairs = sorted(p for p in selected
+                   if p[0] in keep_nodes and p[1] in keep_nodes)
+    _log(cfg, f"graph simplification {cfg.graph_simplification}: "
+              f"{len(pairs)}/{len(matches)} pairs")
     rel = compute_relative_poses(scene, index, pairs, _GCfg(cfg), key)
     if len(rel) < 3:
         raise RuntimeError("not enough relative poses")
     _log(cfg, f"{len(rel)} relative poses")
 
-    # global rotations (stellar uses averaging over the pod graph too)
-    views = sorted({v for p in rel for v in p})
-    vmap_ = {v: i for i, v in enumerate(views)}
-    ei = np.asarray([vmap_[i] for (i, j) in rel])
-    ej = np.asarray([vmap_[j] for (i, j) in rel])
-    R_rel = np.stack([rel[p]["R"] for p in rel])
-    w = np.asarray([rel[p]["n_inliers"] for p in rel], float)
-    R_glob = np.asarray(ra.l2_rotation_averaging(
-        len(views), jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(R_rel),
-        jnp.asarray(w / w.max())))
-
-    # pods: per-view star; per-pod edge scales -> global per-edge scales by
-    # propagation over the pod overlap graph (reference merges pod motions)
-    pod_scales: Dict[Tuple[int, int], List[float]] = {}
-    for c in views:
+    # pods: per-pose star -> local reconstruction -> refined motions
+    pods: Dict[int, Dict[Tuple[int, int], tuple]] = {}
+    pod_nodes = sorted({v for p in rel for v in p})
+    for c in pod_nodes:
         edges = [p for p in rel if c in p]
-        sc = _pod_scales(scene, index, rel, c, edges, cfg)
-        # normalize pod scale so its first edge has the current consensus
-        anchor = None
-        for e, s in sc.items():
-            if e in pod_scales:
-                anchor = np.median(pod_scales[e]) / s
-                break
-        if anchor is None:
-            anchor = 1.0
-        for e, s in sc.items():
-            pod_scales.setdefault(e, []).append(s * anchor)
-    edge_scale = {e: float(np.median(v)) for e, v in pod_scales.items()}
-    _log(cfg, f"{len(edge_scale)} scaled edges")
+        if len(edges) < 2:
+            continue
+        motions = _pod_reconstruction(scene, index, rel, edges, c, cfg)
+        if motions:
+            pods[c] = motions
+    if not pods:
+        raise RuntimeError("no stellar pod could be reconstructed")
+    _log(cfg, f"{len(pods)} pods reconstructed")
 
-    # global translations: linear LS with FIXED per-edge scales
-    # t_j - R_ij t_i = s_e t_ij  (gauge t_0 = 0)
-    E = [e for e in rel if e in edge_scale]
-    N = len(views)
-    A = np.zeros((3 * len(E), 3 * N))
-    b = np.zeros(3 * len(E))
-    for r, e in enumerate(E):
-        i, j = vmap_[e[0]], vmap_[e[1]]
-        Rij = np.einsum("ij,kj->ik", R_glob[j], R_glob[i])
-        A[3 * r:3 * r + 3, 3 * j:3 * j + 3] = np.eye(3)
-        A[3 * r:3 * r + 3, 3 * i:3 * i + 3] = -Rij
-        b[3 * r:3 * r + 3] = edge_scale[e] * rel[e]["t"]
-    A[:, :3] = 0.0  # gauge: t_0 = 0
-    t_flat, *_ = np.linalg.lstsq(A, b, rcond=None)
-    t_glob = t_flat.reshape(N, 3)
+    # rotation averaging over all pod motions (largest CC of pod pairs)
+    pod_pairs = {e for m in pods.values() for e in m}
+    cc_nodes = max(graphlib.connected_components(list(pod_pairs)), key=len)
+    views = sorted(cc_nodes)
+    vmap_ = {v: i for i, v in enumerate(views)}
+    ei, ej, R_rel = [], [], []
+    for motions in pods.values():
+        for (a, b), (R_ab, _) in motions.items():
+            if a in cc_nodes and b in cc_nodes:
+                ei.append(vmap_[a])
+                ej.append(vmap_[b])
+                R_rel.append(R_ab)
+    R_glob = np.asarray(ra.l2_rotation_averaging(
+        len(views), jnp.asarray(np.asarray(ei)), jnp.asarray(np.asarray(ej)),
+        jnp.asarray(np.stack(R_rel)), jnp.asarray(np.ones(len(ei)))))
+
+    # translation averaging: one scale per pod (RelativeInfo_Vec groups)
+    tei, tej, tR, tt, group = [], [], [], [], []
+    for g, motions in enumerate(pods.items()):
+        _, ms = motions
+        for (a, b), (_, t_ab) in ms.items():
+            if a not in cc_nodes or b not in cc_nodes:
+                continue
+            i, j = vmap_[a], vmap_[b]
+            tei.append(i)
+            tej.append(j)
+            # relative rotation from the averaged global rotations
+            tR.append(R_glob[j] @ R_glob[i].T)
+            tt.append(t_ab)
+            group.append(g)
+    group = np.unique(np.asarray(group), return_inverse=True)[1]
+    t_glob, _ = ta.solve_translation_averaging(
+        len(views), np.asarray(tei), np.asarray(tej), np.stack(tR),
+        np.stack(tt), method=ta.SOFTL1, scale_group=group,
+        dtype=cfg.dtype)
 
     for v, i in vmap_.items():
         pid = scene.view_pose[v]
@@ -179,14 +383,14 @@ def stellar_sfm(scene: Scene, features: List[np.ndarray],
         scene.pose_R[pid] = R_glob[i]
         scene.pose_C[pid] = -R_glob[i].T @ t_glob[i]
 
-    # structure + staged BA (same downstream as global engine)
+    # initial structure (min covisibility 2) + staged BA + cleanup
     landmark_of_track = np.full(index.n_tracks, -1, np.int64)
     posed_mask = np.zeros(scene.n_views, bool)
     posed_mask[views] = True
     rows_posed = posed_mask[index.tracks.view_id]
     cand = np.bincount(index.tracks.track_id[rows_posed],
                        minlength=index.n_tracks)
-    cand_tracks = np.nonzero(cand >= cfg.min_track_views)[0]
+    cand_tracks = np.nonzero(cand >= 2)[0]
     _reconstruct_tracks(scene, index, cand_tracks, landmark_of_track,
                         _TriCfg(cfg))
     _staged_ba(scene, cfg)

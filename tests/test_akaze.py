@@ -4,6 +4,9 @@ import numpy as np
 
 from openmvg_tpu.ops import akaze, matching
 from tests.test_sift import blob_image
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy scale-space compiles
 
 CFG = akaze.AkazeConfig(n_octaves=3, max_per_octave=256)
 

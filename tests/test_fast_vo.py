@@ -4,6 +4,9 @@ import numpy as np
 
 from openmvg_tpu.ops import fast
 from tests.test_sift import blob_image
+import pytest
+
+pytestmark = pytest.mark.slow  # VO sequence e2e
 
 
 def test_fast_detects_small_blobs():

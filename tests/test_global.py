@@ -11,6 +11,8 @@ from openmvg_tpu.sfm.scene import rmse
 from openmvg_tpu.utils.synthetic import ring_scene
 from tests.test_incremental import scene_and_data
 
+pytestmark = pytest.mark.slow  # full global-engine e2e matrix
+
 
 @pytest.mark.parametrize("rot,trans", [
     (G.ROTATION_AVERAGING_L2, G.TRANSLATION_AVERAGING_SOFTL1),

@@ -44,6 +44,7 @@ def test_incremental_pipeline_exact():
     s = ring_scene(n_views=8, n_points=120, seed=0)
     sc, feats, matches = scene_and_data(s)
     cfg = IncrementalConfig(ransac_samples=512, resection_samples=512,
+                            init_pair_samples=512,
                             min_init_inliers=40, ba_iterations=15)
     incremental_sfm(sc, feats, matches, cfg, seed=0)
     assert int(sc.pose_valid.sum()) == s.n_views
@@ -59,10 +60,12 @@ def test_incremental_pipeline_exact():
     assert ate < 0.01 * 2.0  # well under 1% of the ring radius
 
 
+@pytest.mark.slow
 def test_incremental_pipeline_noisy():
     s = ring_scene(n_views=8, n_points=120, seed=1)
     sc, feats, matches = scene_and_data(s, noise_px=0.4, seed=2)
     cfg = IncrementalConfig(ransac_samples=512, resection_samples=512,
+                            init_pair_samples=512,
                             min_init_inliers=40, ba_iterations=15)
     incremental_sfm(sc, feats, matches, cfg, seed=1)
     assert int(sc.pose_valid.sum()) == s.n_views
@@ -76,7 +79,7 @@ def test_incremental_24_views_noisy():
     recovered, sub-pixel rmse."""
     s = ring_scene(n_views=24, n_points=400, seed=0)
     sc, feats, matches = scene_and_data(s, noise_px=0.3)
-    cfg = IncrementalConfig(ransac_samples=512, resection_samples=512,
+    cfg = IncrementalConfig(init_pair_samples=512, ransac_samples=512, resection_samples=512,
                             min_init_inliers=40, ba_iterations=10)
     incremental_sfm(sc, feats, matches, cfg, seed=0)
     assert int(sc.pose_valid.sum()) == 24
@@ -84,6 +87,7 @@ def test_incremental_24_views_noisy():
     assert rmse(sc) < 0.6
 
 
+@pytest.mark.slow
 def test_incremental_v2_schedule():
     """INCREMENTALV2 (sequential_SfM2.cpp:84-203): the track_inlier_ratio
     {0.2, 0.0} AddingMissingView schedule reconstructs the full ring with
@@ -91,6 +95,7 @@ def test_incremental_v2_schedule():
     s = ring_scene(n_views=8, n_points=120, seed=0)
     sc, feats, matches = scene_and_data(s)
     cfg = IncrementalConfig(ransac_samples=512, resection_samples=512,
+                            init_pair_samples=512,
                             min_init_inliers=40, ba_iterations=15,
                             engine_version=2)
     incremental_sfm(sc, feats, matches, cfg, seed=0)

@@ -12,6 +12,8 @@ from openmvg_tpu import cli
 from openmvg_tpu.io.gt_loaders import write_strecha_camera
 from openmvg_tpu.io.image import write_image
 
+pytestmark = pytest.mark.slow  # full CLI pipeline e2e
+
 
 def render_scene(tmp, n_views=6, n_points=400, size=320, focal=400.0, seed=0):
     """Random intensity blob cloud seen from a small camera arc."""

@@ -17,6 +17,8 @@ import pytest
 from openmvg_tpu.ops import image_ops, matching, sift
 from openmvg_tpu.sfm import describer
 
+pytestmark = pytest.mark.slow  # multi-describe warp quality
+
 
 def _texture(size=256, seed=5):
     """Smooth random texture with multi-scale structure."""

@@ -1,6 +1,7 @@
 """Scene snapshot round-trip + incremental initializer options."""
 
 import numpy as np
+import pytest
 
 from openmvg_tpu.io.snapshot import load_snapshot, save_snapshot
 from openmvg_tpu.sfm.pipeline_incremental import IncrementalConfig, incremental_sfm
@@ -27,10 +28,11 @@ def test_snapshot_roundtrip(tmp_path):
     np.testing.assert_allclose(s2.cameras.params, sc.cameras.params)
 
 
+@pytest.mark.slow
 def test_incremental_max_pair_initializer():
     s = ring_scene(n_views=6, n_points=100, seed=3)
     sc, feats, matches = scene_and_data(s)
-    cfg = IncrementalConfig(initializer="MAX_PAIR", ransac_samples=512,
+    cfg = IncrementalConfig(init_pair_samples=512, initializer="MAX_PAIR", ransac_samples=512,
                             resection_samples=512, min_init_inliers=40,
                             ba_iterations=12)
     incremental_sfm(sc, feats, matches, cfg, seed=0)
@@ -38,6 +40,7 @@ def test_incremental_max_pair_initializer():
     assert rmse(sc) < 0.3
 
 
+@pytest.mark.slow
 def test_incremental_existing_poses_initializer():
     s = ring_scene(n_views=6, n_points=100, seed=4)
     sc, feats, matches = scene_and_data(s)
@@ -46,7 +49,7 @@ def test_incremental_existing_poses_initializer():
         sc.pose_valid[v] = True
         sc.pose_R[v] = s.R[v]
         sc.pose_C[v] = s.C[v]
-    cfg = IncrementalConfig(initializer="EXISTING_POSES", ransac_samples=512,
+    cfg = IncrementalConfig(init_pair_samples=512, initializer="EXISTING_POSES", ransac_samples=512,
                             resection_samples=512, ba_iterations=12)
     incremental_sfm(sc, feats, matches, cfg, seed=0)
     assert int(sc.pose_valid.sum()) == s.n_views
@@ -66,7 +69,7 @@ def test_per_round_dumps(tmp_path):
 
     s = ring_scene(n_views=6, n_points=60, seed=0)
     sc, feats, matches = scene_and_data(s)
-    cfg = IncrementalConfig(ransac_samples=256, resection_samples=256,
+    cfg = IncrementalConfig(init_pair_samples=512, ransac_samples=256, resection_samples=256,
                             min_init_inliers=30, ba_iterations=8,
                             dump_dir=str(tmp_path / "rounds"))
     incremental_sfm(sc, feats, matches, cfg, seed=0)

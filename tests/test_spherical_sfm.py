@@ -11,6 +11,9 @@ from openmvg_tpu.sfm.pipeline_incremental import (IncrementalConfig,
                                                   incremental_sfm)
 from openmvg_tpu.sfm.scene import Scene
 from openmvg_tpu.utils.synthetic import ring_scene
+import pytest
+
+pytestmark = pytest.mark.slow  # spherical engine e2e
 
 
 def _spherical_scene_and_data(n_views=6, n_points=150, seed=0):
@@ -47,7 +50,7 @@ def _spherical_scene_and_data(n_views=6, n_points=150, seed=0):
 
 def test_spherical_incremental_sfm():
     s, sc, feats, matches = _spherical_scene_and_data()
-    cfg = IncrementalConfig(ransac_samples=512, resection_samples=512,
+    cfg = IncrementalConfig(init_pair_samples=512, ransac_samples=512, resection_samples=512,
                             min_init_inliers=40, ba_iterations=15)
     incremental_sfm(sc, feats, matches, cfg, seed=0)
     assert int(sc.pose_valid.sum()) == s.n_views

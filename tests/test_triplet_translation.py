@@ -8,6 +8,8 @@ import pytest
 
 from openmvg_tpu.ops import triplet_translation as tt
 
+pytestmark = pytest.mark.slow  # heavy vmapped null-space solves
+
 
 def _rot_y(a):
     c, s = np.cos(a), np.sin(a)
