@@ -30,6 +30,7 @@ from openmvg_tpu.sfm.scene import Scene, rmse
 from openmvg_tpu.sfm.scene_triangulation import triangulate_tracks
 from openmvg_tpu.sfm.tracks import Tracks, build_tracks
 from openmvg_tpu.geometry.pose import pose_from_Rt
+from openmvg_tpu.utils.logging import stage
 
 
 @dataclasses.dataclass
@@ -347,15 +348,16 @@ def _append_observations(scene, track_rows, index, landmark_of_track):
 
 
 def _run_ba(scene, cfg, refine_intrinsics=None):
-    prob, maps = ba.problem_from_scene(
-        scene,
-        refine_intrinsics=cfg.refine_intrinsics if refine_intrinsics is None
-        else refine_intrinsics,
-        dtype=cfg.dtype)
-    if prob.obs_pose.shape[0] == 0:
-        return
-    prob, cost, _ = ba.adjust(prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
-    ba.scene_from_problem(scene, prob, maps)
+  with stage("bundle_adjustment"):
+      prob, maps = ba.problem_from_scene(
+          scene,
+          refine_intrinsics=cfg.refine_intrinsics if refine_intrinsics is None
+          else refine_intrinsics,
+          dtype=cfg.dtype)
+      if prob.obs_pose.shape[0] == 0:
+          return
+      prob, cost, _ = ba.adjust(prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
+      ba.scene_from_problem(scene, prob, maps)
 
 
 def incremental_sfm(scene: Scene, features: List[np.ndarray],
@@ -434,20 +436,22 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
     round_id = 0
 
     def _resect_group(group):
-        added = 0
-        for j, v in enumerate(group):
-            ok = _resect_view(scene, index, v, landmark_of_track, cfg,
-                              jax.random.fold_in(key, 1000 * round_id + j))
-            if ok:
-                posed.add(int(v))
-                added += 1
-            else:
-                failed_rounds[int(v)] = failed_rounds.get(int(v), 0) + 1
-        return added
+      with stage("resection"):
+          added = 0
+          for j, v in enumerate(group):
+              ok = _resect_view(scene, index, v, landmark_of_track, cfg,
+                                jax.random.fold_in(key, 1000 * round_id + j))
+              if ok:
+                  posed.add(int(v))
+                  added += 1
+              else:
+                  failed_rounds[int(v)] = failed_rounds.get(int(v), 0) + 1
+          return added
 
     def _round_cleanup(added):
         # add observations of posed views to existing landmarks + new tracks
-        _grow_structure(scene, index, posed, landmark_of_track, cfg)
+        with stage("triangulation"):
+            _grow_structure(scene, index, posed, landmark_of_track, cfg)
         _run_ba(scene, cfg)
         while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
             _run_ba(scene, cfg)

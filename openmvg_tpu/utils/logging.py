@@ -62,3 +62,56 @@ class Progress:
             log_info(f"{self.name}: {int(frac * 100)}% ({self.count}/{self.total})")
             while self._next <= frac:
                 self._next += 0.1
+
+
+# ---------------------------------------------------------------------------
+# per-stage timing registry + jax-profiler hooks (SURVEY §5 tracing row)
+# ---------------------------------------------------------------------------
+
+stage_times = {}
+
+
+class stage(Timer):
+    """Timer that records into the global `stage_times` table (summed over
+    re-entries) and annotates the jax profiler trace when one is active,
+    so device ops group under the stage name in TensorBoard/perfetto."""
+
+    def __init__(self, name, sync=None, log=False):
+        super().__init__(name, sync=sync, log=log)
+        self._ann = None
+
+    def __enter__(self):
+        try:
+            import jax.profiler
+
+            self._ann = jax.profiler.TraceAnnotation(self.name)
+            self._ann.__enter__()
+        except Exception:
+            self._ann = None
+        return super().__enter__()
+
+    def __exit__(self, *exc):
+        out = super().__exit__(*exc)
+        if self._ann is not None:
+            self._ann.__exit__(*exc)
+        stage_times[self.name] = stage_times.get(self.name, 0.0) + self.elapsed
+        return out
+
+
+def reset_stage_times():
+    stage_times.clear()
+
+
+def start_profiler(logdir):
+    """Capture a jax profiler trace (view in TensorBoard / perfetto).
+    Activated by the CLI when OMT_PROFILE_DIR is set."""
+    import jax.profiler
+
+    jax.profiler.start_trace(logdir)
+    log_info(f"jax profiler trace -> {logdir}")
+
+
+def stop_profiler():
+    import jax.profiler
+
+    jax.profiler.stop_trace()

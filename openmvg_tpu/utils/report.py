@@ -33,8 +33,17 @@ def _svg_histogram(values, bins=20, width=560, height=220, title=""):
             + labels + "</svg>")
 
 
-def generate_sfm_report(scene, path, title="SfM report"):
+def generate_sfm_report(scene, path, title="SfM report",
+                        stage_times=None):
+    """HTML report (sfm_report.cpp analogue) with per-stage wall timings
+    (SURVEY §5 tracing row): stage_times=None pulls the global
+    utils.logging.stage_times registry populated by `with stage(name):`
+    blocks in the engines/CLI."""
     from openmvg_tpu.sfm.scene import reprojection_residuals, rmse
+    from openmvg_tpu.utils import logging as omt_logging
+
+    if stage_times is None:
+        stage_times = dict(omt_logging.stage_times)
 
     r, _ = reprojection_residuals(scene)
     norms = np.linalg.norm(r, axis=1) if len(r) else np.zeros(0)
@@ -53,6 +62,7 @@ def generate_sfm_report(scene, path, title="SfM report"):
 <td>{float(track_len.mean()) if len(track_len) else 0:.2f}</td></tr>
 <tr><td>RMSE (px)</td><td>{rmse(scene):.4f}</td></tr>
 </table>
+{_stage_table(stage_times)}
 <h2>Residual norm histogram</h2>
 {_svg_histogram(norms, title="reprojection residual (px)")}
 <h2>Track length histogram</h2>
@@ -62,6 +72,16 @@ def generate_sfm_report(scene, path, title="SfM report"):
     with open(path, "w") as f:
         f.write(html)
     return True
+
+
+def _stage_table(stage_times):
+    if not stage_times:
+        return ""
+    rows = "".join(
+        f'<tr><td>{k}</td><td>{v:.3f}</td></tr>'
+        for k, v in sorted(stage_times.items(), key=lambda kv: -kv[1]))
+    return ('<h2>Per-stage timing (s)</h2>'
+            '<table border="1" cellpadding="4">' + rows + "</table>")
 
 
 def svg_features(image_wh, feats, path, radius_scale=1.0):
