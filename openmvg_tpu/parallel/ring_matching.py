@@ -1,0 +1,94 @@
+"""Ring-streamed all-pairs descriptor matching over the device mesh.
+
+SURVEY §5 long-context row: the reference bounds memory on large scenes
+by file chunking (main_SplitMatchFileIntoMatchFiles.cpp) and LRU region
+caches; the TPU-native equivalent streams descriptor shards around the
+ICI ring — the ring-attention-shaped kernel for all-pairs matching.
+
+Each device owns V/n views' descriptors.  At ring step s every device
+matches all of its local views against the resident remote block, then
+forwards that block to its ring neighbor with `ppermute`; after n steps
+every (local view, any view) pair has been matched while each device
+only ever held 2/n of the descriptors.  Compute and the ICI transfer of
+the NEXT block overlap naturally (XLA schedules the ppermute alongside
+the matmuls).
+
+Memory per device: O(2 V/n * Nmax * D) instead of O(V * Nmax * D).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from openmvg_tpu.ops import matching
+
+
+def ring_all_pairs_match(descs, counts, mesh, axis="hosts", ratio=0.8):
+    """All-pairs brute-force matching with ring-sharded descriptors.
+
+    descs (V, Nmax, D) u8/f32, counts (V,) — V must be a multiple of the
+    mesh axis size.  Returns (idx_b, mask, dist) with shape (V, V, Nmax):
+    entry [a, b] matches view a's descriptors against view b's (the
+    a == b diagonal is computed too; callers slice the pairs they want).
+    """
+    n_dev = mesh.shape[axis]
+    V, Nmax, D = descs.shape
+    if V % n_dev != 0:
+        raise ValueError(f"V={V} not a multiple of mesh size {n_dev}")
+    Vl = V // n_dev
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def body(local_d, local_c):
+        me = jax.lax.axis_index(axis)
+        col = jnp.arange(Nmax)
+
+        def match_block(da, ca, db, cb):
+            res = matching.match_brute_force(
+                da, db, valid_a=col < ca, valid_b=col < cb, ratio=ratio)
+            return res.idx_b, res.mask, res.dist
+
+        def step(carry, _):
+            buf_d, buf_c, owner = carry
+            # (Vl local a-views) x (Vl resident b-views)
+            idx, mask, dist = jax.vmap(
+                lambda da, ca: jax.vmap(
+                    lambda db, cb: match_block(da, ca, db, cb))(buf_d, buf_c)
+            )(local_d, local_c)
+            buf_d = jax.lax.ppermute(buf_d, axis, perm)
+            buf_c = jax.lax.ppermute(buf_c, axis, perm)
+            owner_next = (owner - 1) % n_dev
+            return (buf_d, buf_c, owner_next), (idx, mask, dist, owner)
+
+        (_, _, _), (idx_s, mask_s, dist_s, owners) = jax.lax.scan(
+            step, (local_d, local_c, me), None, length=n_dev)
+
+        # scatter the per-step (Vl, Vl, N) blocks into (Vl, V, N) by the
+        # owner of the block that was resident at that step
+        out_idx = jnp.zeros((Vl, V, Nmax), idx_s.dtype)
+        out_mask = jnp.zeros((Vl, V, Nmax), mask_s.dtype)
+        out_dist = jnp.zeros((Vl, V, Nmax), dist_s.dtype)
+
+        def place(s, outs):
+            oi, om, od = outs
+            zero = jnp.zeros((), owners.dtype)
+            at = (zero, owners[s] * Vl, zero)
+            oi = jax.lax.dynamic_update_slice(oi, idx_s[s], at)
+            om = jax.lax.dynamic_update_slice(om, mask_s[s], at)
+            od = jax.lax.dynamic_update_slice(od, dist_s[s], at)
+            return oi, om, od
+
+        out_idx, out_mask, out_dist = jax.lax.fori_loop(
+            0, n_dev, place, (out_idx, out_mask, out_dist))
+        return out_idx, out_mask, out_dist
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(f)(descs, counts)

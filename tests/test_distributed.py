@@ -112,3 +112,38 @@ def test_scaling_harness_runs(mesh8):
     res_m = scaling_bench.measure_matching_scaling(
         n_views=5, n_feats=256, mesh_sizes=(1, 2), reps=1)
     assert set(res_m) == {1, 2} and res_m[1]["efficiency"] == 1.0
+
+
+def test_ring_all_pairs_match(mesh8):
+    """Ring-streamed descriptor exchange (SURVEY §5 long-context row):
+    each device holds V/n views and blocks rotate over the mesh via
+    ppermute; results equal single-device all-pairs matching."""
+    from openmvg_tpu.parallel.ring_matching import ring_all_pairs_match
+    from openmvg_tpu.ops import matching
+
+    rng = np.random.default_rng(1)
+    V, Nmax = 8, 96
+    descs = rng.integers(0, 256, size=(V, Nmax, 128)).astype(np.uint8)
+    counts = rng.integers(60, Nmax + 1, size=V)
+    # plant correspondences so matches survive the ratio test
+    for v in range(1, V):
+        k = min(counts[0], counts[v])
+        descs[v, :k] = descs[0, :k] + rng.integers(0, 3, (k, 128)).astype(np.uint8)
+
+    idx, mask, dist = ring_all_pairs_match(
+        jnp.asarray(descs), jnp.asarray(counts, jnp.int32), mesh8)
+    idx, mask = np.asarray(idx), np.asarray(mask)
+
+    col = jnp.arange(Nmax)
+    for a in range(V):
+        for b in range(V):
+            if a == b:
+                continue
+            ref = matching.match_brute_force(
+                jnp.asarray(descs[a]), jnp.asarray(descs[b]),
+                valid_a=col < int(counts[a]), valid_b=col < int(counts[b]))
+            np.testing.assert_array_equal(mask[a, b], np.asarray(ref.mask),
+                                          err_msg=f"pair {a},{b}")
+            np.testing.assert_array_equal(
+                idx[a, b][mask[a, b]],
+                np.asarray(ref.idx_b)[np.asarray(ref.mask)])
