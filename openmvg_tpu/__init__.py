@@ -20,3 +20,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# TPU correctness: XLA:TPU's default f32 matmul precision is bf16 passes,
+# which silently destroys the conditioning of the geometric solvers (SVD
+# null spaces, Gauss-Jordan eliminations: observed on-chip as AC-RANSAC
+# accepting degenerate essential matrices with threshold 0).  Force full
+# f32 matmul precision package-wide; compute paths that are safe at lower
+# precision opt back in explicitly (descriptor matching runs int8/bf16
+# MXU paths by explicit input dtypes, SIFT's Gaussian pyramid passes
+# precision=DEFAULT).  No effect on CPU, where f32 matmuls are exact.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -231,6 +231,10 @@ def solve_essential_5pt(b1, b2):
     )
     nrm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
     E = E / jnp.maximum(nrm[..., None, None], 1e-30)
+    # zeroed/non-finite slots are not models (the TPU f32 SVD/solve path
+    # can emit them with the root flags still set)
+    valid = valid & (nrm > 1e-20) & jnp.all(
+        jnp.isfinite(E.reshape(E.shape[:-2] + (9,))), axis=-1)
     return E, valid
 
 

@@ -88,11 +88,23 @@ def _epi_lines(F, x1):
 
 def point_line_error_sq(F, x1, x2):
     """Squared distance of x2 to epipolar line F x1 (the AC-RANSAC
-    point-to-line residual, fundamental/F_ACRobust)."""
+    point-to-line residual, fundamental/F_ACRobust).
+
+    F is normalized to unit Frobenius norm first: the distance is
+    invariant to the scale of F, but an un-normalized tiny-scale F (the
+    5-pt/7-pt null vectors can come out ~1e-20 in f32) underflows the
+    squared line norm to zero and every residual collapses to 0 —
+    observed on the TPU f32 path."""
+    norm = jnp.linalg.norm(F, axis=(-2, -1), keepdims=True)
+    F = F / jnp.maximum(norm, 1e-30)
     l = _epi_lines(F, x1)
     num = l[..., 0] * x2[..., 0] + l[..., 1] * x2[..., 1] + l[..., 2]
     den = l[..., 0] ** 2 + l[..., 1] ** 2
-    return num * num / jnp.maximum(den, 1e-30)
+    err = num * num / jnp.maximum(den, 1e-30)
+    # a (near-)zero F is not a model: every point would get error 0 and
+    # AC-RANSAC would accept it (observed on the TPU f32 path when a
+    # solver emits zeroed slots); make it lose instead
+    return jnp.where(norm[..., 0] > 1e-20, err, jnp.inf)
 
 
 def symmetric_epipolar_error_sq(F, x1, x2):

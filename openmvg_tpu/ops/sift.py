@@ -85,8 +85,13 @@ def _blur(img, sigma):
     kv = k.reshape(1, 1, -1, 1)
     lead = p.shape[:-2]
     x = p.reshape((-1, 1) + p.shape[-2:])
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
+    # precision=DEFAULT keeps the pyramid on the fast MXU path: Gaussian
+    # blurs tolerate bf16 passes (the package default is "highest" for
+    # solver correctness, see openmvg_tpu/__init__.py)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     precision=jax.lax.Precision.DEFAULT)
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID",
+                                     precision=jax.lax.Precision.DEFAULT)
     return x.reshape(lead + x.shape[-2:])
 
 

@@ -319,7 +319,7 @@ def _staged_ba(scene, cfg):
         prob, maps = ba.problem_from_scene(
             scene, refine_rotation=refine_rot, refine_translation=True,
             refine_intrinsics=refine_intr, dtype=cfg.dtype)
-        if prob.obs_pose.shape[0] == 0:
+        if prob.obs_pose.shape[0] == 0 or prob.intr_params.shape[0] == 0:
             return
         prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
         ba.scene_from_problem(scene, prob, maps)

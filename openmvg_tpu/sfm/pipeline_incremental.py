@@ -354,7 +354,10 @@ def _run_ba(scene, cfg, refine_intrinsics=None):
           refine_intrinsics=cfg.refine_intrinsics if refine_intrinsics is None
           else refine_intrinsics,
           dtype=cfg.dtype)
-      if prob.obs_pose.shape[0] == 0:
+      if prob.obs_pose.shape[0] == 0 or prob.intr_params.shape[0] == 0:
+        # (the obs table is pow2-PADDED, so a scene with zero real
+        # observations still presents 32 padded rows — the empty intrinsic
+        # table is the reliable emptiness signal)
           return
       prob, cost, _ = ba.adjust(prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
       ba.scene_from_problem(scene, prob, maps)
@@ -642,7 +645,10 @@ def _refine_pose_only(scene, v, cfg):
     prob, maps = ba.problem_from_scene(scene, refine_structure=False,
                                        refine_intrinsics=ba.ADJUST_NONE,
                                        dtype=cfg.dtype)
-    if prob.obs_pose.shape[0] == 0:
+    if prob.obs_pose.shape[0] == 0 or prob.intr_params.shape[0] == 0:
+        # (the obs table is pow2-PADDED, so a scene with zero real
+        # observations still presents 32 padded rows — the empty intrinsic
+        # table is the reliable emptiness signal)
         return
     free = np.zeros(prob.mask_pose.shape[0])
     free[: len(maps["pose_ids"])] = (maps["pose_ids"] == pid).astype(float)
