@@ -44,7 +44,8 @@ def l2_distance_matrix(a, b, precision=None):
         bc = (b.astype(jnp.int32) - 128).astype(jnp.int8)
         cross0 = jax.lax.dot_general(
             ac, bc, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
         a32 = a.astype(jnp.int32)
         b32 = b.astype(jnp.int32)
         sa = jnp.sum(a32, axis=-1)
@@ -67,7 +68,8 @@ def l2_distance_matrix(a, b, precision=None):
         cross = jax.lax.dot_general(
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
             (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
     else:
         cross = jax.lax.dot_general(
             a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
@@ -181,7 +183,8 @@ def match_brute_force_hamming(desc_a, desc_b, valid_a=None, valid_b=None,
     bits = sa.shape[1]
     ham = (bits - jax.lax.dot_general(
         sa, sb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)) * 0.5
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)) * 0.5
     d1, d2, idx1 = two_nn(ham, valid_b)
     # NOTE: hamming distances are linear, not squared — the ratio applies
     # directly (NNdistanceRatio on the metric values, matching_filters.hpp)
@@ -233,7 +236,8 @@ def match_cascade(desc_a, desc_b, proj, mean, valid_a=None, valid_b=None,
     bits = proj.shape[1]
     ham = (bits - jax.lax.dot_general(
         sa, sb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)) * 0.5
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)) * 0.5
     if valid_b is not None:
         ham = jnp.where(valid_b[None, :], ham, jnp.asarray(1e9, ham.dtype))
     # approx_min_k: TPU-native partial reduction (full top_k sorts the row)

@@ -45,10 +45,15 @@ _F32_BIG = np.float32(np.finfo(np.float32).max / 4)
 def _kernel(is_int, b_ref, a_ref, bn_ref, d1_ref, d2_ref, i1_ref):
     j = pl.program_id(1)
 
-    # transposed tile: rows = b indices, cols = a indices
+    # transposed tile: rows = b indices, cols = a indices.  Explicit
+    # DEFAULT precision: the package-wide "highest" matmul precision
+    # (openmvg_tpu/__init__.py) would tag this int8 dot with an fp32
+    # contract precision, which Mosaic rejects ("Bad lhs type"); int8
+    # accumulation into int32 is exact regardless.
     cross = jax.lax.dot_general(
         b_ref[:], a_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32 if is_int else jnp.float32)
+        preferred_element_type=jnp.int32 if is_int else jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     d = bn_ref[:] - (cross + cross)       # (TILE_B, TILE_A)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
