@@ -114,7 +114,8 @@ def two_nn_fused(a, b, valid_b=None, interpret=False):
         am = jnp.zeros((Np, D), jnp.int8).at[:N].set(ac)
         bm = jnp.zeros((Mp, D), jnp.int8).at[:M].set(bc)
         bi = bc.astype(jnp.int32)
-        bn = jnp.zeros((Mp,), jnp.int32).at[:M].set(jnp.sum(bi * bi, axis=1))
+        bn = jnp.zeros((Mp,), jnp.int32).at[:M].set(
+            jnp.sum(bi * bi, axis=1).astype(jnp.int32))
         big = jnp.asarray(_INT_BIG, jnp.int32)
         acc_dtype = jnp.int32
     else:
