@@ -159,6 +159,77 @@ def ac_ransac(
                           threshold_sq=thr, found=found)
 
 
+def ac_ransac_adaptive(
+    key,
+    fit_fn: Callable,
+    error_fn: Callable,
+    data: Any,
+    valid: jnp.ndarray,
+    min_samples: int,
+    logalpha0,
+    mult_error: float,
+    max_models: int = 1,
+    round_size: int = 256,
+    max_rounds: int = 16,
+    reserve_rounds: int = 2,
+    precision_sq=jnp.inf,
+):
+    """Adaptive-budget AC-RANSAC: batched rounds in a lax.while_loop with
+    the reference's early-exit semantics (robust_estimator_ACRansac.hpp:
+    326-489 — once a meaningful model is found, only the iteration
+    reserve is spent, resampling from the best model's inlier set; until
+    then the full budget is available).  Hard pairs automatically get up
+    to round_size*max_rounds samples, easy pairs exit after
+    1 + reserve_rounds rounds.
+
+    Returns (ACRansacResult, n_rounds).  Prefer this for SINGLE
+    estimations (initial pair, localization): under vmap a while_loop
+    runs to the slowest lane, so the fixed-budget ac_ransac stays the
+    batched-engine default.
+    """
+    n_valid = jnp.sum(valid)
+    loge0 = jnp.log10(jnp.maximum(
+        max_models * (n_valid.astype(jnp.float32) - min_samples), 1.0))
+    uni = valid.astype(jnp.float32)
+
+    key, k0 = jax.random.split(key)
+    model0, nfa0, thr0, err0 = _round(
+        k0, fit_fn, error_fn, data, valid, uni, min_samples, round_size,
+        logalpha0, mult_error, loge0, precision_sq)
+    found_it0 = jnp.where(nfa0 < 0, jnp.int32(0), jnp.int32(max_rounds))
+
+    def cond(c):
+        it, found_it, _, nfa, _, _, _ = c
+        return (it < max_rounds) & (
+            (nfa >= 0) | (it <= found_it + reserve_rounds))
+
+    def body(c):
+        it, found_it, key, nfa, thr, err, model = c
+        key, kr = jax.random.split(key)
+        inl_w = ((err <= thr) & valid).astype(jnp.float32)
+        enough = (nfa < 0) & (jnp.sum(inl_w) > min_samples)
+        w = jnp.where(enough, inl_w, uni)
+        m2, nfa2, thr2, err2 = _round(
+            kr, fit_fn, error_fn, data, valid, w, min_samples, round_size,
+            logalpha0, mult_error, loge0, precision_sq)
+        better = nfa2 < nfa
+        model = tree_util.tree_map(
+            lambda a, b: jnp.where(
+                jnp.reshape(better, (1,) * a.ndim), b, a), model, m2)
+        found_it = jnp.where((nfa >= 0) & (nfa2 < 0), it, found_it)
+        thr = jnp.where(better, thr2, thr)
+        err = jnp.where(better, err2, err)
+        nfa = jnp.minimum(nfa, nfa2)
+        return (it + 1, found_it, key, nfa, thr, err, model)
+
+    it, _, _, nfa, thr, err, model = lax.while_loop(
+        cond, body, (jnp.int32(1), found_it0, key, nfa0, thr0, err0, model0))
+    inliers = (err <= thr) & valid
+    found = (nfa < 0) & (jnp.sum(inliers) > min_samples)
+    return ACRansacResult(model=model, inliers=inliers, nfa=nfa,
+                          threshold_sq=thr, found=found), it
+
+
 def max_consensus(key, fit_fn, error_fn, data, valid, min_samples,
                   threshold_sq, max_models=1, n_samples=1024):
     """Plain max-consensus RANSAC (robust_estimator_MaxConsensus.hpp)."""

@@ -69,8 +69,12 @@ def adjust_distributed(p: ba.BAProblem, mesh, cfg: ba.BAConfig = ba.BAConfig(),
     lam = jnp.asarray(cfg.lam_init, p.X.dtype)
     cost = None
     for _ in range(cfg.max_iterations):
-        p, lam, cost, _ = step(p, lam)
-        if float(lam) > 1e10:
+        p, lam, new_cost, accept = step(p, lam)
+        converged = bool(accept) and cost is not None and (
+            cost - float(new_cost)
+            <= cfg.function_tolerance * max(cost, 1e-30))
+        cost = float(new_cost)
+        if converged or float(lam) > 1e10:
             break
     return p, float(cost)
 
@@ -168,8 +172,12 @@ def adjust_point_sharded(p: ba.BAProblem, mesh,
     lam = jnp.asarray(cfg.lam_init, ps.X.dtype)
     cost = None
     for _ in range(cfg.max_iterations):
-        ps, lam, cost, _ = step(ps, lam)
-        if float(lam) > 1e10:
+        ps, lam, new_cost, accept = step(ps, lam)
+        converged = bool(accept) and cost is not None and (
+            cost - float(new_cost)
+            <= cfg.function_tolerance * max(cost, 1e-30))
+        cost = float(new_cost)
+        if converged or float(lam) > 1e10:
             break
     X = unpartition_X(ps.X, meta)
     p_out = p._replace(X=jnp.asarray(X), rotvec=ps.rotvec, t=ps.t,

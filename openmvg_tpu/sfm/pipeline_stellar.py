@@ -65,7 +65,8 @@ class StellarConfig:
     refine_intrinsics: object = ba.ADJUST_ALL
     min_track_views: int = 3
     verbose: bool = False
-    dtype: object = jnp.float64
+    # f32 = the TPU production dtype (see pipeline_incremental.py note)
+    dtype: object = jnp.float32
     triangulation_angle_deg: float = 2.0
     # graph simplification (main_SfM.cpp:217-218 defaults)
     graph_simplification: str = "MST_X"   # MST_X | STAR_X | NONE

@@ -74,9 +74,12 @@ def test_ba_holds_fixed_when_masked():
     sc = scene_from_ring(s, noise_X=0.01, seed=5)
     X0 = sc.X.copy()
     R0 = sc.pose_R.copy()
+    # fp64 explicitly: this asserts BIT-level fixing through the
+    # rotvec<->R roundtrip, which f32 (the honest TPU default) perturbs
+    # at ~1e-7; masked-update semantics themselves are dtype-free
     prob, maps = ba.problem_from_scene(
         sc, refine_rotation=False, refine_translation=False,
-        refine_structure=True)
+        refine_structure=True, dtype=jnp.float64)
     prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=15))
     ba.scene_from_problem(sc, prob, maps)
     np.testing.assert_allclose(sc.pose_R, R0, atol=1e-12)  # poses untouched

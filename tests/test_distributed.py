@@ -22,7 +22,9 @@ def mesh8():
 def test_distributed_ba_matches_single(mesh8):
     s = ring_scene(n_views=8, n_points=60, seed=0)
     sc = scene_from_ring(s, noise_X=0.02, seed=1)
-    prob, maps = ba.problem_from_scene(sc)
+    prob, maps = ba.problem_from_scene(sc, dtype=jnp.float64)
+    # fp64: this asserts distributed == single-device LM TRAJECTORY
+    # equality, which f32 roundoff (converged costs ~1e-7) drowns out
     cfg = ba.BAConfig(max_iterations=15)
 
     p1, cost1, _ = ba.adjust(prob, cfg)
@@ -63,7 +65,9 @@ def test_point_sharded_ba_matches_single(mesh8):
     the solve must still match the single-device LM trajectory."""
     s = ring_scene(n_views=8, n_points=61, seed=2)  # odd count -> padding
     sc = scene_from_ring(s, noise_X=0.02, seed=3)
-    prob, maps = ba.problem_from_scene(sc)
+    prob, maps = ba.problem_from_scene(sc, dtype=jnp.float64)
+    # fp64: this asserts distributed == single-device LM TRAJECTORY
+    # equality, which f32 roundoff (converged costs ~1e-7) drowns out
     cfg = ba.BAConfig(max_iterations=15)
 
     p1, cost1, _ = ba.adjust(prob, cfg)
@@ -139,6 +143,10 @@ def test_ring_all_pairs_match(mesh8):
         for b in range(V):
             if a == b:
                 continue
+            if b < a:
+                # redundant (b, a) half of the sweep is skipped (round-3)
+                assert not mask[a, b].any(), f"pair {a},{b} should be skipped"
+                continue
             ref = matching.match_brute_force(
                 jnp.asarray(descs[a]), jnp.asarray(descs[b]),
                 valid_a=col < int(counts[a]), valid_b=col < int(counts[b]))
@@ -147,3 +155,33 @@ def test_ring_all_pairs_match(mesh8):
             np.testing.assert_array_equal(
                 idx[a, b][mask[a, b]],
                 np.asarray(ref.idx_b)[np.asarray(ref.mask)])
+
+
+def test_ring_match_pairs_equals_replicated(mesh8):
+    """ring_match_pairs (the CLI `matches --ring_matching` backend) must
+    reproduce match_pair_batch exactly on an i<j pair list, including
+    when V is not a multiple of the mesh size (padding views)."""
+    from openmvg_tpu.parallel.ring_matching import ring_match_pairs
+    from openmvg_tpu.ops import matching
+
+    rng = np.random.default_rng(5)
+    V, Nmax = 11, 64   # 11 views -> padded to 16 on an 8-device mesh
+    descs = rng.integers(0, 256, size=(V, Nmax, 128)).astype(np.uint8)
+    counts = rng.integers(40, Nmax + 1, size=V)
+    for v in range(1, V):
+        k = min(counts[0], counts[v])
+        descs[v, :k] = descs[0, :k] + rng.integers(0, 3, (k, 128)).astype(np.uint8)
+    pairs = np.asarray([(i, j) for i in range(V) for j in range(i + 1, V)],
+                       np.int32)
+
+    ring = ring_match_pairs(jnp.asarray(descs),
+                            jnp.asarray(counts, jnp.int32),
+                            jnp.asarray(pairs), mesh8)
+    repl = matching.match_pair_batch(jnp.asarray(descs),
+                                     jnp.asarray(counts, jnp.int32),
+                                     jnp.asarray(pairs),
+                                     method="bruteforce_xla")
+    np.testing.assert_array_equal(np.asarray(ring.mask), np.asarray(repl.mask))
+    m = np.asarray(repl.mask)
+    np.testing.assert_array_equal(np.asarray(ring.idx_b)[m],
+                                  np.asarray(repl.idx_b)[m])

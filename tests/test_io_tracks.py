@@ -155,8 +155,8 @@ def test_sfm_data_xml_roundtrip(tmp_path):
 
 def test_gps_prior_roundtrip(tmp_path):
     """ViewPriors survive JSON (use_pose_center_prior / center /
-    center_weight, sfm_view_priors_io.hpp field names) and the 0.4 bin
-    framing; views without a prior stay prior-free."""
+    center_weight, sfm_view_priors_io.hpp field names) and the cereal .bin
+    framing (cereal-true since round 3); views without a prior stay prior-free."""
     from tests.test_ba import scene_from_ring
     from openmvg_tpu.io.sfm_data_bin import (load_sfm_data_bin,
                                              save_sfm_data_bin)
