@@ -48,6 +48,12 @@ def _load():
     lib.omt_bench_match_2nn.restype = i64
     lib.omt_bench_match_2nn.argtypes = [p_u8, i64, p_u8, i64, i64,
                                         ctypes.c_double, p_i32, p_i32]
+    lib.omt_bench_ba_lm_step.restype = i64
+    lib.omt_bench_ba_lm_step.argtypes = [
+        p_i32, p_i32, p_f64, p_f64, p_f64, p_f64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        i64, i64, i64, ctypes.c_double, ctypes.c_int32, ctypes.c_double,
+        p_f64]
     _lib = lib
     return _lib
 
@@ -127,3 +133,29 @@ def bench_match_2nn(desc_a, desc_b, ratio=0.8):
     if r < 0:
         return None
     return idx, keep
+
+
+def bench_ba_lm_step(obs_pose, obs_point, obs_x, rotvec, t, X, f, cx, cy,
+                     lam=1e-4, cg_iters=20, huber_a=16.0):
+    """One CPU implicit-Schur LM step (the ceres-class baseline for
+    bench.py ba_lm_obs_per_s).  Updates rotvec/t/X IN PLACE on accept.
+    Returns (accepted, cost_before, cost_after) or None if the library
+    is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    obs_pose = np.ascontiguousarray(obs_pose, np.int32)
+    obs_point = np.ascontiguousarray(obs_point, np.int32)
+    obs_x = np.ascontiguousarray(obs_x, np.float64)
+    assert rotvec.dtype == np.float64 and rotvec.flags.c_contiguous
+    assert t.dtype == np.float64 and t.flags.c_contiguous
+    assert X.dtype == np.float64 and X.flags.c_contiguous
+    out2 = np.zeros(2, np.float64)
+    rc = lib.omt_bench_ba_lm_step(
+        obs_pose, obs_point, obs_x.ravel(), rotvec.ravel(), t.ravel(),
+        X.ravel(), float(f), float(cx), float(cy), len(obs_pose),
+        len(rotvec), len(X), float(lam), int(cg_iters), float(huber_a),
+        out2)
+    if rc < 0:
+        return None
+    return bool(rc), float(out2[0]), float(out2[1])

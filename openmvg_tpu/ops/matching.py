@@ -115,12 +115,15 @@ def dedupe_right(idx1, keep, d1, n_cols):
     big = jnp.asarray(jnp.finfo(d1.dtype).max, d1.dtype)
     d_masked = jnp.where(keep, d1, big)
     rows = jnp.arange(idx1.shape[0], dtype=jnp.int32)
-    si, _, sr, sk = jax.lax.sort(
-        (idx1.astype(jnp.int32), d_masked, rows, keep.astype(jnp.int32)),
-        num_keys=3)
+    # lax.sort is stable, so the row tie-break comes for free and `keep`
+    # is recoverable as d < big: 3 operands / 2 keys instead of the
+    # round-2 4 / 3 (TPU sort cost scales with operand count; the dedupe
+    # sort is ~30% of the whole matcher)
+    si, sd, sr = jax.lax.sort(
+        (idx1.astype(jnp.int32), d_masked, rows), num_keys=2)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), si[1:] != si[:-1]])
-    win = first & (sk == 1)
+    win = first & (sd < big)
     return jnp.zeros_like(keep).at[sr].set(win, unique_indices=True)
 
 

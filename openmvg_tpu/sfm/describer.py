@@ -57,3 +57,39 @@ def describe_image(gray_image, method="SIFT", preset="NORMAL",
                                       max_features=max_features,
                                       upright=upright)
     raise ValueError(f"unknown describer method {method}")
+
+
+def describe_images_batch(gray_images, method="SIFT", preset="NORMAL",
+                          max_features=8192, upright=False):
+    """Batched describe: list of same-shape (H, W) images -> list of
+    (feats, descs), identical per image to describe_image.
+
+    SIFT runs through sift.extract_batch (one vmapped device program —
+    the small per-octave tails batch into dense work, the TPU throughput
+    path); other methods fall back to the per-image loop."""
+    method_u = method.upper()
+    if method_u not in ("SIFT", "SIFT_ANATOMY") or len(gray_images) == 1:
+        return [describe_image(im, method, preset, max_features, upright)
+                for im in gray_images]
+    import jax.numpy as jnp
+
+    cfg = make_config(method_u, preset, max_features, gray_images[0].shape)
+    fb = sift.extract_batch(
+        jnp.asarray(np.stack(gray_images), jnp.float32), cfg,
+        upright=upright)
+    mask = np.asarray(fb.mask)
+    resp = np.asarray(fb.response)
+    xy = np.asarray(fb.xy)
+    sc = np.asarray(fb.scale)
+    ori = np.asarray(fb.orientation)
+    desc = np.asarray(fb.desc)
+    outs = []
+    for b in range(len(gray_images)):
+        idx = np.nonzero(mask[b])[0]
+        order = idx[np.argsort(-resp[b][idx], kind="stable")]
+        if max_features is not None:
+            order = order[:max_features]
+        feats = np.concatenate([xy[b][order], sc[b][order][:, None],
+                                ori[b][order][:, None]], axis=1)
+        outs.append((feats, desc[b][order]))
+    return outs

@@ -78,3 +78,63 @@ def bearings_of(scene, view, idx=None):
     p = (x - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
     b = np.concatenate([p, np.ones_like(p[:, :1])], axis=1)
     return b / np.linalg.norm(b, axis=1, keepdims=True)
+
+
+def render_blob_dataset(out_dir, n_views=6, n_points=400, size=320,
+                        focal=400.0, seed=0):
+    """Render a synthetic image dataset + Strecha-format ground truth.
+
+    Random Gaussian intensity blobs seen from a small camera arc —
+    texture-rich enough for SIFT, with exact GT for the evalQuality
+    protocol (main_evalQuality.cpp).  Writes out_dir/images/img_*.png and
+    out_dir/gt/img_*.png.camera; returns (imgdir, gtdir, Rs, Cs, K).
+
+    Shared by the CLI pipeline tests and the end-to-end benchmark
+    (bench.py e2e section).
+    """
+    import os
+
+    from openmvg_tpu.io.gt_loaders import write_strecha_camera
+    from openmvg_tpu.io.image import write_image
+
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-0.9, 0.9, size=(n_points, 3))
+    X[:, 2] *= 0.4
+    intens = rng.uniform(0.3, 1.0, n_points)
+    radii = rng.uniform(1.2, 2.8, n_points)
+
+    K = np.array([[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]])
+    imgdir = os.path.join(out_dir, "images")
+    gtdir = os.path.join(out_dir, "gt")
+    os.makedirs(imgdir, exist_ok=True)
+    os.makedirs(gtdir, exist_ok=True)
+    Rs, Cs = [], []
+    for v in range(n_views):
+        theta = (v - n_views / 2) * 0.12
+        C = np.array([3.0 * np.sin(theta), 0.3 * np.sin(2 * theta),
+                      -3.0 * np.cos(theta)])
+        R = _look_at(C, [0.0, 0.0, 0.0])
+        Rs.append(R)
+        Cs.append(C)
+        Xc = (X - C) @ R.T
+        z = Xc[:, 2]
+        uv = (Xc[:, :2] / z[:, None]) * focal + size / 2
+        img = np.zeros((size, size), np.float32)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        for p in range(n_points):
+            if z[p] <= 0.5:
+                continue
+            u, v2 = uv[p]
+            if not (-5 < u < size + 5 and -5 < v2 < size + 5):
+                continue
+            r = radii[p] * focal / (z[p] * 130.0) * 40.0
+            r = np.clip(r, 1.0, 4.0)
+            m = (np.abs(yy - v2) < 4 * r) & (np.abs(xx - u) < 4 * r)
+            img[m] += intens[p] * np.exp(
+                -((yy[m] - v2) ** 2 + (xx[m] - u) ** 2) / (2 * r * r))
+        img = np.clip(img, 0, 1)
+        name = f"img_{v:02d}.png"
+        write_image(os.path.join(imgdir, name), img)
+        write_strecha_camera(os.path.join(gtdir, name + ".camera"),
+                             K, R, C, (size, size))
+    return imgdir, gtdir, np.stack(Rs), np.stack(Cs), K

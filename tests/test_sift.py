@@ -104,3 +104,22 @@ def test_upright_extraction():
     assert np.all(feats[:, 3] == 0.0)
     d = np.linalg.norm(feats[:, :2] - [50.0, 40.0], axis=1)
     assert (d < 3.0).any()
+
+
+def test_extract_batch_matches_single():
+    """sift.extract_batch == vmapped extract, per image (round 3: the
+    bench and CLI batch images for TPU throughput)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.random((2, 96, 96)).astype(np.float32))
+    cfg = sift.SiftConfig(max_per_octave=128, n_octaves=2)
+    fb = sift.extract_batch(imgs, cfg)
+    f0 = sift.extract(imgs[0], cfg)
+    f1 = sift.extract(imgs[1], cfg)
+    assert fb.desc.shape[0] == 2
+    np.testing.assert_array_equal(np.asarray(fb.desc[0]), np.asarray(f0.desc))
+    np.testing.assert_array_equal(np.asarray(fb.mask[1]), np.asarray(f1.mask))
+    np.testing.assert_allclose(np.asarray(fb.xy[1]), np.asarray(f1.xy),
+                               rtol=1e-6, atol=1e-6)
