@@ -124,7 +124,12 @@ def dedupe_right(idx1, keep, d1, n_cols):
     first = jnp.concatenate(
         [jnp.ones((1,), bool), si[1:] != si[:-1]])
     win = first & (sd < big)
-    return jnp.zeros_like(keep).at[sr].set(win, unique_indices=True)
+    # un-permute with a second 1-operand sort instead of `.at[sr].set`:
+    # the scatter lowers to serial per-element stores (~29 us of the
+    # ~78 us/pair full matcher, round-3 profile); sr is a permutation of
+    # arange so sorting (row*2 | win) ascending IS row order
+    packed = jax.lax.sort(sr * 2 + win.astype(jnp.int32))
+    return (packed % 2) == 1
 
 
 class MatchResult(NamedTuple):
