@@ -126,9 +126,9 @@ def bench_kernel(descs_np):
 
 def bench_sift():
     """images/s at 1024^2 NORMAL.  Measured single-image: the extractor
-    is gather-throughput-bound (per-image work), so vmap batching adds
-    memory pressure without throughput (batch-of-4 measured 3.34 img/s
-    vs 3.47 single on v5e, round 3)."""
+    is gather/bandwidth-bound (per-image work), so vmap batching adds
+    memory pressure without throughput (batch-of-4 measured 7.07 img/s
+    vs 8.64 single on v5e after the round-3 matmul-histogram rewrite)."""
     import jax.numpy as jnp
     from openmvg_tpu.ops import sift
 

@@ -42,6 +42,25 @@ def expmap(w):
     return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
 
 
+def rotate(w, v):
+    """Rotate points v (..., 3) by axis-angle w (..., 3) WITHOUT forming
+    the (..., 3, 3) matrix: R v = v + a (w x v) + b (w x (w x v)) with the
+    same a/b coefficients as expmap (ceres AngleAxisRotatePoint parity).
+
+    On TPU a vmapped expmap materializes (O, 3, 3) temporaries whose
+    (4,128)-tiled layout pads 56.9x — 24 GB at 4.2M observations (measured
+    round 3); this form stays in (O, 3) vectors."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS**2))
+    small = theta2 < _EPS
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS**2))
+    wxv = jnp.cross(w, v)
+    wxwxv = jnp.cross(w, wxv)
+    return v + a[..., None] * wxv + b[..., None] * wxwxv
+
+
 def logmap(R):
     """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
 

@@ -35,8 +35,10 @@ and rejected (artifacts/bench_2nn_v2.py): TILE_B=256 packed
 (d*256+row) single-key reduction + ping-pong scratch to overlap MXU
 with the previous tile's VPU reduction ran ~40% SLOWER — the scratch
 round-trip and 4x more accumulator merges cost more than the saved
-passes.  The remaining matcher gap (match_pair_batch ~86 us/pair) is
-the dedupe sort epilogue, not this kernel.
+passes.  The full matcher (match_brute_force_fused) measures ~62
+us/pair: the ratio + dedupe epilogue adds ~8 us after the round-3
+pack-sort rewrite (ops/matching.dedupe_right) removed the serial
+scatter-back.
 """
 
 import functools

@@ -79,17 +79,18 @@ class BAConfig(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _residual_one(pose6, intr8, X, kind, wh, x_obs):
-    """Per-observation reprojection residual (2,), pure in all params."""
-    R = so3.expmap(pose6[:3])
-    Xc = R @ X + pose6[3:]
+    """Per-observation reprojection residual (2,), pure in all params.
+    so3.rotate keeps everything in (3,) vectors — a vmapped expmap's
+    (O, 3, 3) temporaries tile-pad 56.9x on TPU (OOM at 4.2M obs)."""
+    Xc = so3.rotate(pose6[:3], X) + pose6[3:]
     return cm.residual(kind, intr8, wh[0], wh[1], Xc, x_obs)
 
 
 def _prior_residual_one(pose6, prior_C, prior_w):
     """GPS pose-center prior residual sqrt(w) * (C - prior), C = -R^T t
-    (sfm_data_BA_ceres.cpp:453-473 PoseCenterConstraintCostFunction)."""
-    R = so3.expmap(pose6[:3])
-    C = -R.T @ pose6[3:]
+    (sfm_data_BA_ceres.cpp:453-473 PoseCenterConstraintCostFunction);
+    R^T = R(-w) so C = -rotate(-w, t)."""
+    C = -so3.rotate(-pose6[:3], pose6[3:])
     return jnp.sqrt(jnp.maximum(prior_w, 0.0)) * (C - prior_C)
 
 
