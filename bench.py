@@ -16,7 +16,8 @@ network; see PARITY.md §interop.)
 `extra` carries secondary recorded metrics:
   mfu_int8           kernel throughput / 394.7 TOPS v5e int8 peak
   sift_images_per_s  ops/sift.extract, 1024x1024 NORMAL preset
-  ba_lm_obs_per_s    sfm/ba.lm_step observations/s (64 cams, 8k points)
+  ba_lm_obs_per_s    sfm/ba.lm_step observations/s (128 cams, 100k pts,
+                     1M observations, 20 CG iterations)
   cpu_baseline_pairs_per_s, host_cpus
 
 Timing methodology: the axon tunnel's block_until_ready does NOT block on
@@ -139,37 +140,19 @@ def bench_sift():
 
 
 def bench_ba():
+    """One f32 LM step (20 CG iterations) on a 128-camera / 100k-point /
+    1M-observation scene — production BA scale, where device throughput
+    is the story.  (The round-2 64-cam/116k-obs fixture was
+    dispatch-latency-bound on the TPU while fitting the CPU cache, which
+    made the comparison measure launch overhead, not the solver.)"""
     import jax.numpy as jnp
     from openmvg_tpu.sfm import ba
-    from openmvg_tpu.geometry import so3
-    from openmvg_tpu.utils.synthetic import ring_scene
+    from openmvg_tpu.utils.synthetic import big_ba_problem
 
-    sc = ring_scene(n_views=64, n_points=8192, jitter=0.5, seed=3)
-    v, p = np.nonzero(sc.visible)
-    O = len(v)
-    dt_ = jnp.float32
-    rotvec = np.asarray(so3.logmap(jnp.asarray(sc.R)))
-    prob = ba.BAProblem(
-        obs_pose=jnp.asarray(v, jnp.int32),
-        obs_intr=jnp.zeros(O, jnp.int32),
-        obs_point=jnp.asarray(p, jnp.int32),
-        obs_x=jnp.asarray(sc.x[v, p], dt_),
-        obs_w=jnp.ones(O, dt_),
-        rotvec=jnp.asarray(rotvec, dt_),
-        t=jnp.asarray(sc.t, dt_),
-        intr_kind=jnp.asarray([1], jnp.int32),
-        intr_wh=jnp.asarray([[1000, 1000]], dt_),
-        intr_params=jnp.asarray([[1000.0, 500.0, 500.0, 0, 0, 0, 0, 0]], dt_),
-        X=jnp.asarray(sc.X + np.random.default_rng(4).normal(
-            scale=0.01, size=sc.X.shape), dt_),
-        mask_pose=jnp.ones((64, 6), dt_),
-        mask_intr=jnp.zeros((1, 8), dt_),
-        mask_X=jnp.ones(sc.X.shape[0], dt_),
-        prior_C=jnp.zeros((64, 3), dt_),
-        prior_w=jnp.zeros((64, 3), dt_),
-    )
+    prob, O = big_ba_problem(n_poses=128, n_points=100_000,
+                             obs_per_point=10, seed=3)
     cfg = ba.BAConfig(cg_iterations=20)
-    lam = jnp.asarray(1e-4, dt_)
+    lam = jnp.asarray(1e-4, jnp.float32)
 
     def step(prob, lam):
         p2, lam2, cost, _ = ba.lm_step_impl(prob, lam, cfg)
@@ -185,17 +168,18 @@ def bench_ba():
     from openmvg_tpu import native
 
     if native.available():
-        rotvec64 = np.asarray(rotvec, np.float64).copy()
-        t64 = np.asarray(sc.t, np.float64).copy()
+        v = np.asarray(prob.obs_pose, np.int32)
+        p = np.asarray(prob.obs_point, np.int32)
+        obs_x64 = np.asarray(prob.obs_x, np.float64)
+        rotvec64 = np.asarray(prob.rotvec, np.float64).copy()
+        t64 = np.asarray(prob.t, np.float64).copy()
         X64 = np.asarray(prob.X, np.float64).copy()
-        obs_x64 = np.asarray(sc.x[v, p], np.float64)
-        args64 = (v.astype(np.int32), p.astype(np.int32), obs_x64)
-        native.bench_ba_lm_step(*args64, rotvec64, t64, X64,
+        native.bench_ba_lm_step(v, p, obs_x64, rotvec64, t64, X64,
                                 1000.0, 500.0, 500.0, cg_iters=20)  # warm
         t0 = time.perf_counter()
-        n_rep = 3
+        n_rep = 2
         for _ in range(n_rep):
-            native.bench_ba_lm_step(*args64, rotvec64, t64, X64,
+            native.bench_ba_lm_step(v, p, obs_x64, rotvec64, t64, X64,
                                     1000.0, 500.0, 500.0, cg_iters=20)
         cpu_obs_per_s = O * n_rep / (time.perf_counter() - t0)
     return O / dt, cpu_obs_per_s

@@ -208,7 +208,7 @@ def _try_pair(scene, index, cfg, key, va, vb, n_samples=None):
 
 
 def relative_pose_batch(scene, index, pair_list, key, n_samples=1024,
-                        min_corr=15, chunk=32):
+                        min_corr=15, chunk=None):
     """Batched Relative_Pose_Engine (relative_pose_engine.cpp:144-191).
 
     The reference loops pairs under OpenMP, one robustRelativePose each;
@@ -218,11 +218,20 @@ def relative_pose_batch(scene, index, pair_list, key, n_samples=1024,
     AC-RANSAC device program (chunked to bound the (chunk, S, K) residual
     tensor).
 
+    chunk (pairs per device program) defaults to 4096 // n_samples: on
+    the v5e a single program holding more than ~8-16k vmapped 5-pt solver
+    instances (pairs x samples) crashes the TPU worker process (measured
+    round 3: 20x922 instances reproducibly kill the worker, 4x922 /
+    20x128 / 1x4096 run fine), so stay at <= 4096 instances per dispatch
+    — same compiled shapes, more dispatches.
+
     Returns {(va, vb): dict(R, t, inliers, track_ids, n_inliers,
     med_angle, threshold_px)} in pair_list order (found pairs only).
     Per-pair PRNG keys are fold_in(key, position) — same stream layout as
     the sequential loop this replaces.
     """
+    if chunk is None:
+        chunk = max(1, 4096 // max(n_samples, 1))
     recs = []
     for pos, (va, vb) in enumerate(pair_list):
         xa, xb, tids = _shared_track_corr(index, va, vb)

@@ -138,3 +138,59 @@ def render_blob_dataset(out_dir, n_views=6, n_points=400, size=320,
         write_strecha_camera(os.path.join(gtdir, name + ".camera"),
                              K, R, C, (size, size))
     return imgdir, gtdir, np.stack(Rs), np.stack(Cs), K
+
+
+def big_ba_problem(n_poses=256, n_points=300_000, obs_per_point=14, seed=0,
+                   noise_px=0.5, noise_X=0.01, dtype=None):
+    """Geometrically consistent large BA problem built obs-table-first
+    (no dense (V, P) visibility matrix at this scale): cameras on a ring
+    of radius 3 looking at the origin, each point observed from
+    obs_per_point poses inside an angular window.  Returns
+    (ba.BAProblem, n_obs).  BASELINE config-5 scale fixture shared by
+    tests/test_big_scene.py and bench.py."""
+    import jax.numpy as jnp
+
+    from openmvg_tpu.geometry import so3
+    from openmvg_tpu.sfm import ba
+
+    rng = np.random.default_rng(seed)
+    theta = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
+    C = np.stack([3 * np.cos(theta), 3 * np.sin(theta),
+                  0.2 * np.sin(3 * theta)], 1)
+    R = np.stack([_look_at(c, [0.0, 0.0, 0.0]) for c in C])
+    X = rng.uniform(-1, 1, (n_points, 3)) * [1.0, 1.0, 0.4]
+
+    base = rng.integers(0, n_poses, n_points)
+    offs = rng.integers(0, 32, (n_points, obs_per_point))
+    pose_id = ((base[:, None] + offs) % n_poses).reshape(-1)
+    point_id = np.repeat(np.arange(n_points), obs_per_point)
+
+    f, cx, cy = 1000.0, 500.0, 500.0
+    Xc = np.einsum("oij,oj->oi", R[pose_id], X[point_id] - C[pose_id])
+    x = Xc[:, :2] / Xc[:, 2:] * f + [cx, cy]
+    x = x + rng.normal(scale=noise_px, size=x.shape)
+
+    rotvec = np.asarray(so3.logmap(jnp.asarray(R)))
+    t = -np.einsum("nij,nj->ni", R, C)
+    O = len(pose_id)
+    dt = dtype or jnp.float32
+    X0 = X + rng.normal(scale=noise_X, size=X.shape)
+    prob = ba.BAProblem(
+        obs_pose=jnp.asarray(pose_id, jnp.int32),
+        obs_intr=jnp.zeros(O, jnp.int32),
+        obs_point=jnp.asarray(point_id, jnp.int32),
+        obs_x=jnp.asarray(x, dt),
+        obs_w=jnp.ones(O, dt),
+        rotvec=jnp.asarray(rotvec, dt),
+        t=jnp.asarray(t, dt),
+        intr_kind=jnp.asarray([1], jnp.int32),
+        intr_wh=jnp.asarray([[1000, 1000]], dt),
+        intr_params=jnp.asarray([[f, cx, cy, 0, 0, 0, 0, 0]], dt),
+        X=jnp.asarray(X0, dt),
+        mask_pose=jnp.ones((n_poses, 6), dt),
+        mask_intr=jnp.zeros((1, 8), dt),
+        mask_X=jnp.ones(n_points, dt),
+        prior_C=jnp.zeros((n_poses, 3), dt),
+        prior_w=jnp.zeros((n_poses, 3), dt),
+    )
+    return prob, O

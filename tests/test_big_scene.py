@@ -81,52 +81,12 @@ def test_global_sfm_500_views_1m_obs():
 
 
 def _big_ba_problem(n_poses=256, n_points=300_000, obs_per_point=14, seed=0):
-    """Geometrically consistent BA problem built obs-table-first (no dense
-    (V, P) visibility matrix at this scale)."""
-    rng = np.random.default_rng(seed)
-    theta = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
-    C = np.stack([3 * np.cos(theta), 3 * np.sin(theta),
-                  0.2 * np.sin(3 * theta)], 1)
-    from openmvg_tpu.utils.synthetic import _look_at
-    R = np.stack([_look_at(c, [0.0, 0.0, 0.0]) for c in C])
-    X = rng.uniform(-1, 1, (n_points, 3)) * [1.0, 1.0, 0.4]
+    """Shared fixture — moved to openmvg_tpu.utils.synthetic.big_ba_problem
+    so bench.py measures the same problem (kept as an alias for
+    artifacts/run_big_ba_tpu.py and older callers)."""
+    from openmvg_tpu.utils.synthetic import big_ba_problem
 
-    # each point observed from obs_per_point poses in an angular window
-    # (points ahead of those cameras by construction: |X| < 1.5 << 3)
-    base = rng.integers(0, n_poses, n_points)
-    offs = rng.integers(0, 32, (n_points, obs_per_point))
-    pose_id = ((base[:, None] + offs) % n_poses).reshape(-1)
-    point_id = np.repeat(np.arange(n_points), obs_per_point)
-
-    f, cx, cy = 1000.0, 500.0, 500.0
-    Xc = np.einsum("oij,oj->oi", R[pose_id], X[point_id] - C[pose_id])
-    x = Xc[:, :2] / Xc[:, 2:] * f + [cx, cy]
-    x = x + rng.normal(scale=0.5, size=x.shape)
-
-    from openmvg_tpu.geometry import so3
-    rotvec = np.asarray(so3.logmap(jnp.asarray(R)))
-    t = -np.einsum("nij,nj->ni", R, C)
-    O = len(pose_id)
-    dt = jnp.float32
-    X0 = X + rng.normal(scale=0.01, size=X.shape)
-    return ba.BAProblem(
-        obs_pose=jnp.asarray(pose_id, jnp.int32),
-        obs_intr=jnp.zeros(O, jnp.int32),
-        obs_point=jnp.asarray(point_id, jnp.int32),
-        obs_x=jnp.asarray(x, dt),
-        obs_w=jnp.ones(O, dt),
-        rotvec=jnp.asarray(rotvec, dt),
-        t=jnp.asarray(t, dt),
-        intr_kind=jnp.asarray([1], jnp.int32),
-        intr_wh=jnp.asarray([[1000, 1000]], dt),
-        intr_params=jnp.asarray([[f, cx, cy, 0, 0, 0, 0, 0]], dt),
-        X=jnp.asarray(X0, dt),
-        mask_pose=jnp.ones((n_poses, 6), dt),
-        mask_intr=jnp.zeros((1, 8), dt),
-        mask_X=jnp.ones(n_points, dt),
-        prior_C=jnp.zeros((n_poses, 3), dt),
-        prior_w=jnp.zeros((n_poses, 3), dt),
-    ), O
+    return big_ba_problem(n_poses, n_points, obs_per_point, seed)
 
 
 @pytest.mark.slow
