@@ -48,17 +48,19 @@ def pad_problem(p: ba.BAProblem, n_shards: int) -> ba.BAProblem:
     O = p.obs_pose.shape[0]
     k = (O + n_shards - 1) // n_shards * n_shards
     if k == O:
-        return p
+        return p._replace(pt_obs=None)
     pad = k - O
 
     def padded(a, fill=0):
         return jnp.concatenate(
             [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
 
+    # pt_obs indexes the global obs table — invalid once obs rows are
+    # sharded; the sharded paths use the scatter+psum reductions
     return p._replace(
         obs_pose=padded(p.obs_pose), obs_intr=padded(p.obs_intr),
         obs_point=padded(p.obs_point), obs_x=padded(p.obs_x),
-        obs_w=padded(p.obs_w))
+        obs_w=padded(p.obs_w), pt_obs=None)
 
 
 def adjust_distributed(p: ba.BAProblem, mesh, cfg: ba.BAConfig = ba.BAConfig(),
@@ -124,7 +126,7 @@ def partition_by_point(p: ba.BAProblem, n_shards: int):
 
     local_point = (obs_point - shard * n_local).astype(np.int32)
     p_new = p._replace(
-        X=X, mask_X=mask_X,
+        X=X, mask_X=mask_X, pt_obs=None,
         obs_pose=regroup(p.obs_pose),
         obs_intr=regroup(p.obs_intr),
         obs_point=regroup(local_point),

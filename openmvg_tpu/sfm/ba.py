@@ -56,6 +56,12 @@ class BAProblem(NamedTuple):
     mask_X: jnp.ndarray     # (L,) 1 = free
     prior_C: jnp.ndarray    # (P, 3) GPS pose-center priors (ViewPriors)
     prior_w: jnp.ndarray    # (P, 3) per-axis prior weights (0 = no prior)
+    # optional CSR gather table (L, R): obs row ids per point, padded with
+    # O (build_pt_obs).  When present, point-block segment sums run as
+    # gather + dense sum instead of scatter-add (row-serial on TPU);
+    # None falls back to scatter (and is required under obs sharding,
+    # where the table would index across shards).
+    pt_obs: jnp.ndarray = None
 
 
 class BAConfig(NamedTuple):
@@ -96,12 +102,20 @@ def _prior_residual_one(pose6, prior_C, prior_w):
 
 def _gather_params(p: BAProblem):
     pose6 = jnp.concatenate([p.rotvec, p.t], axis=-1)  # (P, 6)
+    O = p.obs_pose.shape[0]
+
+    def intr_rows(a):
+        # single shared intrinsic (static shape): broadcast, no row gather
+        if a.shape[0] == 1:
+            return jnp.broadcast_to(a[0], (O,) + a.shape[1:])
+        return a[p.obs_intr]
+
     return (
         pose6[p.obs_pose],          # (O, 6)
-        p.intr_params[p.obs_intr],  # (O, 8)
+        intr_rows(p.intr_params),   # (O, 8)
         p.X[p.obs_point],           # (O, 3)
-        p.intr_kind[p.obs_intr],
-        p.intr_wh[p.obs_intr],
+        intr_rows(p.intr_kind),
+        intr_rows(p.intr_wh),
     )
 
 
@@ -161,11 +175,74 @@ def jacobians(p: BAProblem, cfg: BAConfig):
 # Schur-CG solve
 # ---------------------------------------------------------------------------
 
+_ONEHOT_SEGMENTS_MAX = 1024
+
+
 def _seg_sum(vals, ids, num, axis=None):
-    out = jax.ops.segment_sum(vals, ids, num_segments=num)
+    """Segment sum with an MXU path for small segment counts.
+
+    TPU scatter-add lowers to row-serial stores: ~49 ms for 1M rows
+    regardless of payload (measured v5e, round 3).  For few segments
+    (camera/intrinsic blocks) the one-hot matmul (num, O) @ (O, k) does
+    the same reduction in ~2 ms on the MXU; point blocks (10^5 segments)
+    stay on the scatter path."""
+    if num <= _ONEHOT_SEGMENTS_MAX:
+        oh = (ids[:, None] == jnp.arange(num, dtype=ids.dtype)
+              ).astype(vals.dtype)
+        flat = vals.reshape(vals.shape[0], -1)
+        out = (oh.T @ flat).reshape((num,) + vals.shape[1:])
+    else:
+        out = jax.ops.segment_sum(vals, ids, num_segments=num)
     if axis is not None:
         out = jax.lax.psum(out, axis)
     return out
+
+
+def build_pt_obs(obs_point, obs_w, n_points, max_expand=4):
+    """Host-side CSR gather table (n_points, R) of observation row ids per
+    point, R = pow2(max obs per point), padded with O = len(obs_point)
+    (the apply side appends a zero row at index O).
+
+    TPU scatter-add lowers to row-serial stores (~49 ms per 1M rows
+    measured on v5e round 3); gathering each point's rows and
+    dense-summing is ~5x cheaper and turns every per-CG-iteration point
+    reduction into regular vector work.  Rows with obs_w == 0 (padding)
+    are excluded — every point-side summand is weight-scaled so the sum
+    is unchanged.  Returns None when a hub point would blow the table
+    past max_expand x O entries (callers fall back to scatter)."""
+    obs_point = np.asarray(obs_point)
+    O = len(obs_point)
+    rows = np.nonzero(np.asarray(obs_w) != 0)[0]
+    if len(rows) == 0:
+        return np.full((max(n_points, 1), 2), O, np.int32)
+    ids = obs_point[rows]
+    counts = np.bincount(ids, minlength=n_points)
+    R = 1 << (int(counts.max()) - 1).bit_length()
+    if n_points * R > max_expand * max(O, 1):
+        return None
+    order = np.argsort(ids, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    rank = np.arange(len(rows)) - starts[ids[order]]
+    table = np.full((n_points, R), O, np.int32)
+    table[ids[order], rank] = rows[order]
+    return table
+
+
+def _pt_seg_sum(vals, p: "BAProblem", num, axis=None):
+    """Point-block segment sum: CSR gather + dense sum when the problem
+    carries pt_obs (single-shard path), scatter-add otherwise."""
+    if p.pt_obs is None or axis is not None:
+        return _seg_sum(vals, p.obs_point, num, axis)
+    z = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
+    padded = jnp.concatenate([vals, z], axis=0)
+    return jnp.sum(padded[p.pt_obs], axis=1)
+
+
+def _block_outer_pt(J, p: "BAProblem", num, axis=None):
+    """_block_outer_seg for the point blocks via _pt_seg_sum."""
+    O, two, k = J.shape
+    prod = (J[:, :, :, None] * J[:, :, None, :]).sum(1).reshape(O, k * k)
+    return _pt_seg_sum(prod, p, num, axis).reshape(num, k, k)
 
 
 def _block_outer_seg(J, ids, num, axis=None):
@@ -190,14 +267,42 @@ def _brmatvec(J, u):
 
 
 def _solve_sym3(A, b):
-    """Batch solve of (N,3,3) SPD systems (Hpp blocks)."""
-    return jnp.linalg.solve(A, b[..., None])[..., 0]
+    """Batch solve of (N,3,3) SPD systems (Hpp blocks) in closed form.
+
+    LU via jnp.linalg.solve measured ~95 ms per call on (100k,3,3) f32 on
+    a v5e — and the CG loop called it every iteration (round-3 profile:
+    130 ms/iteration, 2.7 s per 20-iteration LM step at 1M obs).  The
+    adjugate solve is pure elementwise vector math on the 6 unique
+    entries; blocks are LM-damped SPD so det > 0."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-30,
+                    jnp.where(det < 0, -1e-30, 1e-30), det)
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c01 * b1 + c02 * b2) / det
+    x1 = (c01 * b0 + c11 * b1 + c12 * b2) / det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
 
 
 def _camera_matvec(vc_pose, vc_intr, p, Jp6, Ji8):
-    """u_o = Jc_o @ v for the camera half: (O, 2)."""
+    """u_o = Jc_o @ v for the camera half: (O, 2).
+
+    Row gathers cost ~5 ns/row on TPU (~5 ms per 1M obs, measured round
+    3) and run once per CG iteration; with a single shared intrinsic
+    (the common pipeline case — shape is static under jit) the intrinsic
+    gather is a broadcast."""
     up = _bmatvec(Jp6, vc_pose[p.obs_pose])
-    ui = _bmatvec(Ji8, vc_intr[p.obs_intr])
+    vi = (jnp.broadcast_to(vc_intr[0], (Ji8.shape[0],) + vc_intr.shape[1:])
+          if vc_intr.shape[0] == 1 else vc_intr[p.obs_intr])
+    ui = _bmatvec(Ji8, vi)
     return up + ui
 
 
@@ -226,7 +331,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
     n_pts = p.X.shape[0]
 
     # point blocks Hpp = sum Jx^T Jx + lam*diag, and their damped inverse
-    Hpp = _block_outer_seg(Jx3, p.obs_point, n_pts, point_axis)
+    Hpp = _block_outer_pt(Jx3, p, n_pts, point_axis)
     dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     damp_pp = jnp.maximum(dpp, 1e-12)
     Hpp = Hpp + lam * damp_pp[..., None] * jnp.eye(3, dtype=Hpp.dtype)
@@ -235,7 +340,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
 
     # gradient
     gp, gi = _camera_rmatvec(-r, p, Jp6, Ji8, n_pose, n_intr, axis)
-    gx = _seg_sum(_brmatvec(Jx3, -r), p.obs_point, n_pts, point_axis)
+    gx = _pt_seg_sum(_brmatvec(Jx3, -r), p, n_pts, point_axis)
 
     # GPS prior blocks (pose-only, dense per pose, replicated under sharding)
     pose6 = jnp.concatenate([p.rotvec, p.t], axis=-1)
@@ -275,7 +380,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
         """S v = (B + lam D) v - E Hpp^-1 E^T v, all implicit via J."""
         vp, vi = v
         u = _camera_matvec(vp, vi, p, Jp6, Ji8)
-        w = _seg_sum(_brmatvec(Jx3, u), p.obs_point, n_pts, point_axis)
+        w = _pt_seg_sum(_brmatvec(Jx3, u), p, n_pts, point_axis)
         y = _solve_sym3(Hpp, w)
         zz = _bmatvec(Jx3, y[p.obs_point])
         sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr, axis)
@@ -284,10 +389,16 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
         si = si + lam * dcc_i * vi
         return sp, si
 
+    # block-Jacobi preconditioner factors are constant across CG — invert
+    # once outside the loop (jnp.linalg.solve inside the scan re-factored
+    # every iteration)
+    Mp_inv = jnp.linalg.inv(Mp)
+    Mi_inv = jnp.linalg.inv(Mi)
+
     def M_inv(v):
         vp, vi = v
-        return (jnp.linalg.solve(Mp, vp[..., None])[..., 0],
-                jnp.linalg.solve(Mi, vi[..., None])[..., 0])
+        return (jnp.einsum("pij,pj->pi", Mp_inv, vp),
+                jnp.einsum("pij,pj->pi", Mi_inv, vi))
 
     # PCG on the reduced camera system
     b = (bp, bi)
@@ -323,7 +434,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
 
     # back-substitute points: d_X = Hpp^-1 (gx - E^T dc)
     u = _camera_matvec(d_pose, d_intr, p, Jp6, Ji8)
-    w = _seg_sum(_brmatvec(Jx3, u), p.obs_point, n_pts, point_axis)
+    w = _pt_seg_sum(_brmatvec(Jx3, u), p, n_pts, point_axis)
     d_X = _solve_sym3(Hpp, gx - w) * p.mask_X[:, None]
 
     # predicted model gain 0.5 * (d^T (lam*D d + g))  (standard LM formula)
@@ -553,6 +664,8 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
         mask_X=jnp.asarray(mask_X_arr, dtype),
         prior_C=jnp.asarray(prior_C, dtype),
         prior_w=jnp.asarray(prior_w, dtype),
+        pt_obs=(lambda tbl: None if tbl is None else jnp.asarray(tbl))(
+            build_pt_obs(padv(obs_point, O2), obs_w, L2)),
     )
     return p, dict(pose_ids=pose_ids, intr_ids=intr_ids, point_ids=point_ids,
                    n_scene_points=len(scene.X_valid))

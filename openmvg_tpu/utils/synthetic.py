@@ -192,5 +192,6 @@ def big_ba_problem(n_poses=256, n_points=300_000, obs_per_point=14, seed=0,
         mask_X=jnp.ones(n_points, dt),
         prior_C=jnp.zeros((n_poses, 3), dt),
         prior_w=jnp.zeros((n_poses, 3), dt),
+        pt_obs=jnp.asarray(ba.build_pt_obs(point_id, np.ones(O), n_points)),
     )
     return prob, O
