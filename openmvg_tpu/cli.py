@@ -1577,7 +1577,10 @@ def _enable_compilation_cache():
             os.path.join(os.path.expanduser("~"), ".cache", "openmvg_tpu_jax"))
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0: even one-op eager programs persist — through the axon
+        # tunnel each costs ~0.4 s to compile, and a cold 12-view
+        # incremental run was issuing 622 of them (259 s, round 4)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

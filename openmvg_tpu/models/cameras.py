@@ -297,6 +297,32 @@ def image_plane_to_camera_plane_error(kind, params, width, height, value):
     return jnp.where(kind == SPHERICAL, sph, pin)
 
 
+_bearing_jit = None
+_project_cam_jit = None
+
+
+def bearing_jit(*args):
+    """Jitted `bearing` for host callers (pad shapes via
+    utils/hostmath.padded_apply — eager calls cost ~20 one-op XLA
+    programs each through the axon tunnel)."""
+    global _bearing_jit
+    if _bearing_jit is None:
+        import jax
+
+        _bearing_jit = jax.jit(bearing)
+    return _bearing_jit(*args)
+
+
+def project_cam_jit(*args):
+    """Jitted `project_cam` for host callers (see bearing_jit)."""
+    global _project_cam_jit
+    if _project_cam_jit is None:
+        import jax
+
+        _project_cam_jit = jax.jit(project_cam)
+    return _project_cam_jit(*args)
+
+
 def K_matrix(params):
     """(..., 3, 3) calibration matrix for pinhole-family cameras."""
     f = params[..., 0]

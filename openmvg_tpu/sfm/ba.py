@@ -31,10 +31,31 @@ import numpy as np
 
 from openmvg_tpu.geometry import so3
 from openmvg_tpu.models import cameras as cm
+from openmvg_tpu.utils import hostmath
 
 # refine-option masks, parity with Intrinsic_Parameter_Type / Extrinsic_Parameter_Type
 ADJUST_ALL = "ALL"
 ADJUST_NONE = "NONE"
+
+
+class PtObsTable(NamedTuple):
+    """Two-level CSR gather tables for point-block segment sums.
+
+    Level 1: `rows` (L1, R) holds observation row ids grouped by point,
+    padded with O (the apply side appends a zero row at index O); points
+    with more than R observations span several consecutive rows.
+    Level 2 folds rows back to points: `groups` (L, M) holds row ids into
+    the level-1 sums (padded with L1) when the max rows-per-point M is
+    small, else None and the fold runs as a segment_sum over `row_point`
+    (L1,) — L1 ~ L rows, never O rows, so the scatter stays cheap even
+    for hub points.  Rebuild whenever obs_w's zero pattern changes: rows
+    with obs_w == 0 are excluded at build time, so activating a padded
+    row without rebuilding would silently drop it from point-side sums.
+    """
+
+    rows: jnp.ndarray       # (L1, R) int32
+    row_point: jnp.ndarray  # (L1,) int32
+    groups: jnp.ndarray     # (L, M) int32 or None
 
 
 class BAProblem(NamedTuple):
@@ -56,12 +77,11 @@ class BAProblem(NamedTuple):
     mask_X: jnp.ndarray     # (L,) 1 = free
     prior_C: jnp.ndarray    # (P, 3) GPS pose-center priors (ViewPriors)
     prior_w: jnp.ndarray    # (P, 3) per-axis prior weights (0 = no prior)
-    # optional CSR gather table (L, R): obs row ids per point, padded with
-    # O (build_pt_obs).  When present, point-block segment sums run as
-    # gather + dense sum instead of scatter-add (row-serial on TPU);
-    # None falls back to scatter (and is required under obs sharding,
-    # where the table would index across shards).
-    pt_obs: jnp.ndarray = None
+    # optional PtObsTable (build_pt_obs).  When present, point-block
+    # segment sums run as gather + dense sum instead of scatter-add
+    # (row-serial on TPU); None falls back to scatter (and is required
+    # under obs sharding, where the table would index across shards).
+    pt_obs: PtObsTable = None
 
 
 class BAConfig(NamedTuple):
@@ -176,6 +196,8 @@ def jacobians(p: BAProblem, cfg: BAConfig):
 # ---------------------------------------------------------------------------
 
 _ONEHOT_SEGMENTS_MAX = 1024
+# max elements of the materialized (chunk, num) one-hot: 2^26 f32 = 256 MB
+_ONEHOT_BUDGET_ELEMS = 1 << 26
 
 
 def _seg_sum(vals, ids, num, axis=None):
@@ -185,12 +207,34 @@ def _seg_sum(vals, ids, num, axis=None):
     regardless of payload (measured v5e, round 3).  For few segments
     (camera/intrinsic blocks) the one-hot matmul (num, O) @ (O, k) does
     the same reduction in ~2 ms on the MXU; point blocks (10^5 segments)
-    stay on the scatter path."""
+    stay on the gather/scatter paths.  The one-hot is materialized, so
+    its (O, num) footprint is capped at _ONEHOT_BUDGET_ELEMS by chunking
+    the matmul over O with a scan (at 4.2M obs x 1024 segments an
+    unchunked one-hot would be 17 GB — over a v5e's HBM)."""
+    O = vals.shape[0]
     if num <= _ONEHOT_SEGMENTS_MAX:
-        oh = (ids[:, None] == jnp.arange(num, dtype=ids.dtype)
-              ).astype(vals.dtype)
-        flat = vals.reshape(vals.shape[0], -1)
-        out = (oh.T @ flat).reshape((num,) + vals.shape[1:])
+        flat = vals.reshape(O, -1)
+        seg = jnp.arange(num, dtype=ids.dtype)
+
+        if O * num <= _ONEHOT_BUDGET_ELEMS:
+            oh = (ids[:, None] == seg).astype(vals.dtype)
+            out = oh.T @ flat
+        else:
+            chunk = max(_ONEHOT_BUDGET_ELEMS // num, 1)
+            chunk = 1 << (chunk.bit_length() - 1)
+            while O % chunk:
+                chunk >>= 1  # O is pow2-padded in practice
+
+            def body(acc, xs):
+                ids_c, flat_c = xs
+                oh = (ids_c[:, None] == seg).astype(vals.dtype)
+                return acc + oh.T @ flat_c, None
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros((num, flat.shape[1]), vals.dtype),
+                (ids.reshape(O // chunk, chunk),
+                 flat.reshape(O // chunk, chunk, flat.shape[1])))
+        out = out.reshape((num,) + vals.shape[1:])
     else:
         out = jax.ops.segment_sum(vals, ids, num_segments=num)
     if axis is not None:
@@ -198,44 +242,76 @@ def _seg_sum(vals, ids, num, axis=None):
     return out
 
 
-def build_pt_obs(obs_point, obs_w, n_points, max_expand=4):
-    """Host-side CSR gather table (n_points, R) of observation row ids per
-    point, R = pow2(max obs per point), padded with O = len(obs_point)
-    (the apply side appends a zero row at index O).
+def build_pt_obs(obs_point, obs_w, n_points, group_budget_elems=1 << 24):
+    """Host-side two-level CSR gather tables (PtObsTable) for point-block
+    segment sums.
 
     TPU scatter-add lowers to row-serial stores (~49 ms per 1M rows
     measured on v5e round 3); gathering each point's rows and
     dense-summing is ~5x cheaper and turns every per-CG-iteration point
-    reduction into regular vector work.  Rows with obs_w == 0 (padding)
+    reduction into regular vector work.  Level-1 row width R is a pow2
+    covering the 99th-percentile track length, NOT the maximum — hub
+    points (N-view tracks with hundreds of observations) span several
+    rows instead of blowing the table up to (L, max_deg) (the round-3
+    single-level table bailed to the O-row scatter above 4x expansion,
+    regressing 4.2M-obs solves 3.3x).  Rows with obs_w == 0 (padding)
     are excluded — every point-side summand is weight-scaled so the sum
-    is unchanged.  Returns None when a hub point would blow the table
-    past max_expand x O entries (callers fall back to scatter)."""
+    is unchanged; rebuild the table whenever the zero pattern changes.
+    """
     obs_point = np.asarray(obs_point)
     O = len(obs_point)
-    rows = np.nonzero(np.asarray(obs_w) != 0)[0]
-    if len(rows) == 0:
-        return np.full((max(n_points, 1), 2), O, np.int32)
-    ids = obs_point[rows]
+    n_points = max(n_points, 1)
+    sel = np.nonzero(np.asarray(obs_w) != 0)[0]
+    if len(sel) == 0:
+        rows = np.full((n_points, 2), O, np.int32)
+        groups = np.arange(n_points, dtype=np.int32)[:, None]
+        return PtObsTable(rows=rows, row_point=groups[:, 0], groups=groups)
+    ids = obs_point[sel]
     counts = np.bincount(ids, minlength=n_points)
-    R = 1 << (int(counts.max()) - 1).bit_length()
-    if n_points * R > max_expand * max(O, 1):
-        return None
+    nz = counts[counts > 0]
+    p99 = int(np.percentile(nz, 99))
+    R = 1 << max(2, (max(p99, 1) - 1).bit_length())
+    R = min(R, 1 << (int(counts.max()) - 1).bit_length())
+    nrow = np.maximum((counts + R - 1) // R, 1)  # every point owns >= 1 row
+    M = int(nrow.max())
+    L1 = int(nrow.sum())
+    row_start = np.zeros(n_points + 1, np.int64)
+    np.cumsum(nrow, out=row_start[1:])
     order = np.argsort(ids, kind="stable")
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    rank = np.arange(len(rows)) - starts[ids[order]]
-    table = np.full((n_points, R), O, np.int32)
-    table[ids[order], rank] = rows[order]
-    return table
+    starts = np.zeros(n_points + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(len(sel)) - starts[ids[order]]
+    rows = np.full((L1, R), O, np.int32)
+    rows[row_start[ids[order]] + rank // R, rank % R] = sel[order]
+    row_point = np.repeat(np.arange(n_points, dtype=np.int32),
+                          nrow).astype(np.int32)
+    Mp = 1 << max(0, (M - 1).bit_length())
+    if n_points * Mp <= group_budget_elems:
+        col = np.arange(Mp, dtype=np.int64)[None, :]
+        groups = np.where(col < nrow[:, None],
+                          row_start[:n_points, None] + col, L1).astype(np.int32)
+    else:
+        groups = None  # hub fold runs as an L1-row segment_sum instead
+    return PtObsTable(rows=rows, row_point=row_point, groups=groups)
 
 
 def _pt_seg_sum(vals, p: "BAProblem", num, axis=None):
-    """Point-block segment sum: CSR gather + dense sum when the problem
-    carries pt_obs (single-shard path), scatter-add otherwise."""
+    """Point-block segment sum: two-level CSR gather + dense sums when the
+    problem carries pt_obs (single-shard path), scatter-add otherwise."""
     if p.pt_obs is None or axis is not None:
         return _seg_sum(vals, p.obs_point, num, axis)
+    t = p.pt_obs
     z = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
     padded = jnp.concatenate([vals, z], axis=0)
-    return jnp.sum(padded[p.pt_obs], axis=1)
+    row_sums = jnp.sum(padded[t.rows], axis=1)  # (L1, ...)
+    if t.rows.shape[0] == num and t.groups is not None \
+            and t.groups.shape[1] == 1:
+        return row_sums  # one row per point: level 2 is the identity
+    if t.groups is None:
+        return jax.ops.segment_sum(row_sums, t.row_point, num_segments=num)
+    z1 = jnp.zeros((1,) + row_sums.shape[1:], row_sums.dtype)
+    rs = jnp.concatenate([row_sums, z1], axis=0)
+    return jnp.sum(rs[t.groups], axis=1)
 
 
 def _block_outer_pt(J, p: "BAProblem", num, axis=None):
@@ -479,10 +555,52 @@ def lm_step_impl(p: BAProblem, lam, cfg: BAConfig, axis=None,
     return p_out, lam_new, jnp.where(accept, cost1, cost0), accept
 
 
-lm_step = partial(jax.jit, static_argnames=("cfg",))(lm_step_impl)
+# --- static/dynamic config split --------------------------------------------
+# jitting with the whole BAConfig static compiles a separate executable per
+# distinct config even at identical shapes — in the incremental engine that
+# doubled the (already minutes-long through the axon tunnel) compile count,
+# because full BA (30 iters) and pose refines (8 iters) each got their own
+# programs.  Only fields that change the traced graph stay static
+# (cg_iterations = scan length, use_huber = python branch); everything else
+# rides as traced scalars so ONE executable per problem shape serves every
+# iteration/tolerance/damping configuration.
+
+class _DynCfg(NamedTuple):
+    huber_a: jnp.ndarray
+    max_iterations: jnp.ndarray
+    cg_tol: jnp.ndarray
+    lam_init: jnp.ndarray
+    lam_up: jnp.ndarray
+    lam_down: jnp.ndarray
+    function_tolerance: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def _cfg_split(cfg: BAConfig):
+    dyn = _DynCfg(jnp.float32(cfg.huber_a), jnp.int32(cfg.max_iterations),
+                  jnp.float32(cfg.cg_tol), jnp.float32(cfg.lam_init),
+                  jnp.float32(cfg.lam_up), jnp.float32(cfg.lam_down),
+                  jnp.float32(cfg.function_tolerance))
+    return dyn, int(cfg.cg_iterations), bool(cfg.use_huber)
+
+
+def _cfg_merge(dyn: _DynCfg, cg_iterations, use_huber) -> BAConfig:
+    return BAConfig(huber_a=dyn.huber_a, max_iterations=dyn.max_iterations,
+                    cg_iterations=cg_iterations, cg_tol=dyn.cg_tol,
+                    lam_init=dyn.lam_init, lam_up=dyn.lam_up,
+                    lam_down=dyn.lam_down, use_huber=use_huber,
+                    function_tolerance=dyn.function_tolerance)
+
+
+@partial(jax.jit, static_argnames=("cg_iterations", "use_huber"))
+def _lm_step_jit(p: BAProblem, lam, dyn: _DynCfg, cg_iterations, use_huber):
+    return lm_step_impl(p, lam, _cfg_merge(dyn, cg_iterations, use_huber))
+
+
+def lm_step(p: BAProblem, lam, cfg: BAConfig):
+    dyn, cg_it, huber = _cfg_split(cfg)
+    return _lm_step_jit(p, lam, dyn, cg_it, huber)
+
+
 def adjust_impl(p: BAProblem, cfg: BAConfig):
     """Full LM loop ON DEVICE: lax.while_loop over lm_step with a
     cost-based early stop (ceres function_tolerance semantics) — no
@@ -509,6 +627,11 @@ def adjust_impl(p: BAProblem, cfg: BAConfig):
     return p, cost, n_acc
 
 
+@partial(jax.jit, static_argnames=("cg_iterations", "use_huber"))
+def _adjust_jit(p: BAProblem, dyn: _DynCfg, cg_iterations, use_huber):
+    return adjust_impl(p, _cfg_merge(dyn, cg_iterations, use_huber))
+
+
 def adjust(p: BAProblem, cfg: BAConfig = BAConfig(), verbose=False):
     """Full LM loop.  Returns (problem, final_cost, n_accepted).
 
@@ -516,7 +639,8 @@ def adjust(p: BAProblem, cfg: BAConfig = BAConfig(), verbose=False):
     back to a host loop so per-iteration stats can print.
     """
     if not verbose:
-        p, cost, n_acc = adjust_impl(p, cfg)
+        dyn, cg_it, huber = _cfg_split(cfg)
+        p, cost, n_acc = _adjust_jit(p, dyn, cg_it, huber)
         return p, float(cost), int(n_acc)
     lam = jnp.asarray(cfg.lam_init, p.X.dtype)
     cost = float(robust_cost(p, cfg))
@@ -593,7 +717,7 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
 
     R = scene.pose_R[pose_ids]
     C = scene.pose_C[pose_ids]
-    rotvec = np.asarray(so3.logmap(jnp.asarray(R)))
+    rotvec = hostmath.logmap_np(R)  # numpy twin: no eager device ops
     t = -np.einsum("nij,nj->ni", R, C)
 
     mask_pose = np.zeros((len(pose_ids), 6))
@@ -664,8 +788,8 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
         mask_X=jnp.asarray(mask_X_arr, dtype),
         prior_C=jnp.asarray(prior_C, dtype),
         prior_w=jnp.asarray(prior_w, dtype),
-        pt_obs=(lambda tbl: None if tbl is None else jnp.asarray(tbl))(
-            build_pt_obs(padv(obs_point, O2), obs_w, L2)),
+        pt_obs=jax.tree_util.tree_map(
+            jnp.asarray, build_pt_obs(padv(obs_point, O2), obs_w, L2)),
     )
     return p, dict(pose_ids=pose_ids, intr_ids=intr_ids, point_ids=point_ids,
                    n_scene_points=len(scene.X_valid))
@@ -677,8 +801,8 @@ def scene_from_problem(scene, p: BAProblem, maps):
     nP = len(maps["pose_ids"])
     nL = len(maps["point_ids"])
     n_scene = maps.get("n_scene_points")
-    R = np.asarray(so3.expmap(p.rotvec[:nP]))
-    t = np.asarray(p.t[:nP])
+    R = hostmath.expmap_np(np.asarray(p.rotvec)[:nP])
+    t = np.asarray(p.t)[:nP]
     C = -np.einsum("nji,nj->ni", R, t)
     scene.pose_R[maps["pose_ids"]] = R
     scene.pose_C[maps["pose_ids"]] = C
@@ -688,7 +812,7 @@ def scene_from_problem(scene, p: BAProblem, maps):
     newp[maps["intr_ids"]] = params
     scene.cameras = cams._replace(params=newp)
     pids = maps["point_ids"]
-    Xout = np.asarray(p.X[:nL])
+    Xout = np.asarray(p.X)[:nL]
     if n_scene is not None:
         keep = pids < n_scene
         scene.X[pids[keep]] = Xout[keep]

@@ -48,8 +48,8 @@ def remove_outliers_angle_error(scene: Scene, min_angle_deg=2.0) -> int:
     for moderate track lengths we use the bound via ray-centroid —
     the exact pairwise max is evaluated in blocks.
     """
-    from openmvg_tpu.models.cameras import bearing
-    import jax.numpy as jnp
+    from openmvg_tpu.models import cameras as cm
+    from openmvg_tpu.utils import hostmath
 
     ok = scene.obs_valid & scene.X_valid[scene.obs_landmark]
     pid = scene.view_pose[scene.obs_view]
@@ -59,36 +59,53 @@ def remove_outliers_angle_error(scene: Scene, min_angle_deg=2.0) -> int:
         return 0
     iid = scene.view_intrinsic[scene.obs_view[idx]]
     cams = scene.cameras
-    b = np.asarray(bearing(
-        jnp.asarray(np.asarray(cams.kind)[iid]),
-        jnp.asarray(np.asarray(cams.params)[iid]),
-        jnp.asarray(np.asarray(cams.width)[iid]),
-        jnp.asarray(np.asarray(cams.height)[iid]),
-        jnp.asarray(scene.obs_x[idx])))
+    b = hostmath.padded_apply(cm.bearing_jit, (
+        np.asarray(cams.kind)[iid], np.asarray(cams.params)[iid],
+        np.asarray(cams.width)[iid], np.asarray(cams.height)[iid],
+        scene.obs_x[idx]))
     rays = np.einsum("nji,nj->ni", scene.pose_R[pid[idx]], b)  # world rays
     rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+    rays = rays.astype(np.float32)
 
+    # exact max-pairwise-angle test, vectorized: landmarks bucketed by
+    # pow2 track length into (Lb, D) CSR row tables, pairwise Gram
+    # (Lb, D, D) evaluated in bounded chunks (the former per-landmark
+    # python loop was O(L) host work per round — minutes at 100k tracks)
     lm = scene.obs_landmark[idx]
+    L = len(scene.X_valid)
     order = np.argsort(lm, kind="stable")
-    lm_s, rays_s = lm[order], rays[order]
-    starts = np.searchsorted(lm_s, np.arange(len(scene.X_valid)))
-    ends = np.searchsorted(lm_s, np.arange(len(scene.X_valid)) + 1)
-    cos_min_angle = np.cos(np.radians(min_angle_deg))
-    removed = 0
-    bad_landmarks = []
-    for l in np.nonzero(scene.X_valid)[0]:
-        s, e = starts[l], ends[l]
-        if e - s < 2:
-            continue
-        G = rays_s[s:e] @ rays_s[s:e].T
-        np.fill_diagonal(G, 1.0)
-        if G.min() > cos_min_angle:  # max angle below threshold
-            bad_landmarks.append(l)
-    if bad_landmarks:
-        bad = np.asarray(bad_landmarks)
-        scene.X_valid[bad] = False
+    lm_s = lm[order]
+    counts = np.bincount(lm, minlength=L)
+    starts = np.zeros(L + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    cos_min_angle = np.float32(np.cos(np.radians(min_angle_deg)))
+    bad = np.zeros(L, bool)
+    deg = counts
+    done = deg < 2  # nothing to test
+    Dcap = 64
+    D = 2
+    while D <= Dcap:
+        sel = np.nonzero(~done & (deg <= D))[0]
+        done[sel] = True
+        if len(sel):
+            col = np.arange(D)[None, :]
+            rowid = starts[sel, None] + np.minimum(col, deg[sel, None] - 1)
+            chunk = max(1, (1 << 22) // (D * D))
+            for lo in range(0, len(sel), chunk):
+                r = rays[order[rowid[lo:lo + chunk]]]      # (C, D, 3)
+                G = np.einsum("cid,cjd->cij", r, r)
+                bad[sel[lo:lo + chunk]] = G.min(axis=(1, 2)) > cos_min_angle
+        D *= 2
+    # rare very long tracks (> Dcap observations): exact small loop
+    for l in np.nonzero(~done)[0]:
+        s, e = starts[l], starts[l + 1]
+        G = rays[order[s:e]] @ rays[order[s:e]].T
+        bad[l] = G.min() > cos_min_angle
+    bad &= scene.X_valid
+    removed = int(bad.sum())
+    if removed:
+        scene.X_valid &= ~bad
         scene.obs_valid &= scene.X_valid[scene.obs_landmark]
-        removed = len(bad)
     return removed
 
 

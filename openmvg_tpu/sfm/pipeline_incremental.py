@@ -30,7 +30,22 @@ from openmvg_tpu.sfm.scene import Scene, rmse
 from openmvg_tpu.sfm.scene_triangulation import triangulate_tracks
 from openmvg_tpu.sfm.tracks import Tracks, build_tracks
 from openmvg_tpu.geometry.pose import pose_from_Rt
+from openmvg_tpu.utils import hostmath
 from openmvg_tpu.utils.logging import stage
+
+
+_fold_in_jit = None
+
+
+def _fold_keys(key, positions):
+    """fold_in for a whole batch of stream positions in ONE device call
+    (eager per-pair fold_in was ~3 XLA programs per pair)."""
+    global _fold_in_jit
+    if _fold_in_jit is None:
+        _fold_in_jit = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(None, 0)))
+    return hostmath.padded_apply(
+        lambda pos: _fold_in_jit(key, pos),
+        (np.asarray(positions, np.uint32),), lo=32)
 
 
 @dataclasses.dataclass
@@ -179,8 +194,8 @@ def _try_pair(scene, index, cfg, key, va, vb, n_samples=None):
     valid = np.arange(k) < n
     iid_a = scene.view_intrinsic[va]
     iid_b = scene.view_intrinsic[vb]
-    Ka = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid_a])))
-    Kb = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid_b])))
+    Ka = hostmath.K_matrix_np(scene.cameras.params[iid_a])
+    Kb = hostmath.K_matrix_np(scene.cameras.params[iid_b])
     wh_b = scene.view_wh[vb]
     # non-pinhole (spherical) pairs take the angular 8-pt path
     # (sfm_robust_model_estimation.cpp:29-120)
@@ -257,6 +272,10 @@ def relative_pose_batch(scene, index, pair_list, key, n_samples=1024,
 
     kinds = np.asarray(scene.cameras.kind)
     params = np.asarray(scene.cameras.params)
+    K_all = hostmath.K_matrix_np(params)
+    keys_all = _fold_keys(key, [r["pos"] for r in recs])
+    for r, kr in zip(recs, keys_all):
+        r["key"] = kr
 
     def pow2(n, lo=64):
         k = lo
@@ -276,7 +295,11 @@ def relative_pose_batch(scene, index, pair_list, key, n_samples=1024,
     for (k, angular), rs in buckets.items():
         for lo in range(0, len(rs), chunk):
             grp = rs[lo:lo + chunk]
-            P = len(grp)
+            # pad short chunks up to a pow2 pair count by repeating the
+            # last pair (results sliced off): remainder chunks otherwise
+            # each compile their own (P, k) executable — through the
+            # axon tunnel that is ~20 s per shape
+            P = min(chunk, pow2(len(grp), lo=1))
             xa = np.zeros((P, k, 2))
             xb = np.zeros((P, k, 2))
             bap = np.zeros((P, k, 3))
@@ -285,21 +308,19 @@ def relative_pose_batch(scene, index, pair_list, key, n_samples=1024,
             Ka = np.zeros((P, 3, 3))
             Kb = np.zeros((P, 3, 3))
             wh = np.zeros((P, 2))
-            keys = np.zeros((P,) + np.asarray(key).shape,
-                            np.asarray(key).dtype)
-            for i, r in enumerate(grp):
+            keys = np.zeros((P,) + keys_all.shape[1:], keys_all.dtype)
+            for i in range(P):
+                r = grp[min(i, len(grp) - 1)]
                 n = len(r["tids"])
                 xa[i, :n] = r["xa"]
                 xb[i, :n] = r["xb"]
                 bap[i, :n] = r["ba"]
                 bbp[i, :n] = r["bb"]
                 valid[i, :n] = True
-                Ka[i] = np.asarray(cm.K_matrix(jnp.asarray(
-                    params[scene.view_intrinsic[r["va"]]])))
-                Kb[i] = np.asarray(cm.K_matrix(jnp.asarray(
-                    params[scene.view_intrinsic[r["vb"]]])))
+                Ka[i] = K_all[scene.view_intrinsic[r["va"]]]
+                Kb[i] = K_all[scene.view_intrinsic[r["vb"]]]
                 wh[i] = scene.view_wh[r["vb"]]
-                keys[i] = np.asarray(jax.random.fold_in(key, r["pos"]))
+                keys[i] = r["key"]
             info = robust.robust_relative_pose_batch(
                 jnp.asarray(keys), jnp.asarray(bap), jnp.asarray(bbp),
                 jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(Ka),
@@ -443,7 +464,9 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         _run_ba(scene, cfg)
         while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
             _run_ba(scene, cfg)
-        _log(cfg, f"init: {scene.n_landmarks} landmarks rmse={rmse(scene):.3f}")
+        if cfg.verbose:  # rmse costs a device call — skip when silent
+            _log(cfg, f"init: {scene.n_landmarks} landmarks "
+                      f"rmse={rmse(scene):.3f}")
         posed = {int(va), int(vb)}
     failed_rounds: Dict[int, int] = {}
 
@@ -452,11 +475,12 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
 
     def _resect_group(group):
       with stage("resection"):
+          ok_views = _resect_views_batch(scene, index, group,
+                                         landmark_of_track, cfg, key,
+                                         round_id)
           added = 0
-          for j, v in enumerate(group):
-              ok = _resect_view(scene, index, v, landmark_of_track, cfg,
-                                jax.random.fold_in(key, 1000 * round_id + j))
-              if ok:
+          for v in group:
+              if int(v) in ok_views:
                   posed.add(int(v))
                   added += 1
               else:
@@ -480,9 +504,10 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         if len(gone):
             mask = np.isin(landmark_of_track, gone)
             landmark_of_track[mask] = -1
-        _log(cfg, f"round {round_id}: +{added} views "
-                  f"({len(posed)} total), {scene.n_landmarks} landmarks, "
-                  f"rmse={rmse(scene):.3f}")
+        if cfg.verbose:
+            _log(cfg, f"round {round_id}: +{added} views "
+                      f"({len(posed)} total), {scene.n_landmarks} landmarks, "
+                      f"rmse={rmse(scene):.3f}")
         if cfg.dump_dir:
             import os as _os
 
@@ -533,8 +558,9 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
     _run_ba(scene, cfg)
     while filters.bad_track_rejector(scene, cfg.max_residual_px, 0):
         _run_ba(scene, cfg)
-    _log(cfg, f"done: {len(posed)} poses, {scene.n_landmarks} landmarks, "
-              f"rmse={rmse(scene):.3f}")
+    if cfg.verbose:
+        _log(cfg, f"done: {len(posed)} poses, {scene.n_landmarks} landmarks, "
+                  f"rmse={rmse(scene):.3f}")
     return scene
 
 
@@ -614,60 +640,154 @@ def _find_v2_group(scene, index, posed, landmark_of_track, ratio,
     return sorted((int(v) for v in group), key=lambda v: -rec[v])
 
 
-def _resect_view(scene, index, v, landmark_of_track, cfg, key):
-    rows = index.rows_of_view(v)
-    lm = landmark_of_track[index.tracks.track_id[rows]]
-    sel = lm >= 0
-    rows, lm = rows[sel], lm[sel]
-    n = len(rows)
-    if n < 12:
-        return False
-    xy = index.obs_xy[rows]
-    b = _bearings(scene, np.full(n, v), xy)
-    X = scene.X[lm]
-    (xy_p, b_p, X_p), k = _pad_pow2([xy, b, X], n)
-    valid = np.arange(k) < n
-    iid = scene.view_intrinsic[v]
-    K = np.asarray(cm.K_matrix(jnp.asarray(scene.cameras.params[iid])))
-    wh = scene.view_wh[v]
-    if int(scene.cameras.kind[iid]) == cm.SPHERICAL:
-        res = robust.robust_resection_angular(
-            key, jnp.asarray(b_p), jnp.asarray(X_p), jnp.asarray(valid),
-            n_samples=cfg.resection_samples)
-    else:
-        res = robust.robust_resection_p3p(
-            key, jnp.asarray(b_p), jnp.asarray(xy_p), jnp.asarray(X_p),
-            jnp.asarray(K), jnp.asarray(valid), float(wh[0]), float(wh[1]),
-            n_samples=cfg.resection_samples)
-    n_inl = int(np.asarray(res.inliers)[:n].sum())
-    if not bool(res.found) or n_inl < cfg.min_resection_inliers_factor * 3:
-        return False
-    R, t = np.asarray(res.model[0]), np.asarray(res.model[1])
-    pid = scene.view_pose[v]
-    scene.pose_valid[pid] = True
-    scene.pose_R[pid] = R
-    scene.pose_C[pid] = -R.T @ t
-    _refine_pose_only(scene, v, cfg)
-    return True
+def _resect_views_batch(scene, index, views, landmark_of_track, cfg, key,
+                        round_id):
+    """Batched Resection (sequential_SfM.cpp:863): AC-RANSAC P3P for every
+    view of the resection group, bucketed by pow2 correspondence count so
+    each (view-chunk, k) bucket is ONE vmapped device program, then one
+    vmapped pose-only LM refine over all accepted views
+    (robust.refine_poses_batch = SfM_Localizer::RefinePose).  The round-3
+    engine ran one AC-RANSAC program per view plus a FULL-SCENE BA per
+    view for the refine — the dominant share of its 615 s SfM stage on a
+    12-view scene.  Returns the set of successfully resected view ids.
 
+    Chunking keeps vmapped solver instances (views x samples) <= 4096 per
+    dispatch — larger programs reproducibly crash the v5e worker (measured
+    round 3).  The per-pair sample dimension cannot be subdivided, so for
+    resection_samples > 4096 the bound is a single view per dispatch."""
+    tr = index.tracks
+    recs = []
+    for j, v in enumerate(views):
+        rows = index.rows_of_view(v)
+        lm = landmark_of_track[tr.track_id[rows]]
+        sel = lm >= 0
+        rows, lm = rows[sel], lm[sel]
+        if len(rows) < 12:
+            continue
+        recs.append(dict(pos=1000 * round_id + j, v=int(v), rows=rows,
+                         lm=lm))
+    if not recs:
+        return set()
 
-def _refine_pose_only(scene, v, cfg):
-    """SfM_Localizer::RefinePose — BA with only this view's pose free."""
-    pid = int(scene.view_pose[v])
-    prob, maps = ba.problem_from_scene(scene, refine_structure=False,
-                                       refine_intrinsics=ba.ADJUST_NONE,
-                                       dtype=cfg.dtype)
-    if prob.obs_pose.shape[0] == 0 or prob.intr_params.shape[0] == 0:
-        # (the obs table is pow2-PADDED, so a scene with zero real
-        # observations still presents 32 padded rows — the empty intrinsic
-        # table is the reliable emptiness signal)
-        return
-    free = np.zeros(prob.mask_pose.shape[0])
-    free[: len(maps["pose_ids"])] = (maps["pose_ids"] == pid).astype(float)
-    prob = prob._replace(mask_pose=prob.mask_pose * jnp.asarray(
-        free, prob.mask_pose.dtype)[:, None])
-    prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=8))
-    ba.scene_from_problem(scene, prob, maps)
+    xy_cat = np.concatenate([index.obs_xy[r["rows"]] for r in recs])
+    view_cat = np.concatenate([np.full(len(r["rows"]), r["v"]) for r in recs])
+    b_cat = _bearings(scene, view_cat, xy_cat)
+    ofs = 0
+    for r in recs:
+        n = len(r["rows"])
+        r["xy"] = index.obs_xy[r["rows"]]
+        r["b"] = b_cat[ofs:ofs + n]
+        r["X"] = scene.X[r["lm"]]
+        ofs += n
+    keys_all = _fold_keys(key, [r["pos"] for r in recs])
+    for r, kr in zip(recs, keys_all):
+        r["key"] = kr
+
+    kinds = np.asarray(scene.cameras.kind)
+    params = np.asarray(scene.cameras.params)
+    K_all = hostmath.K_matrix_np(params)
+
+    def pow2(n, lo=64):
+        k = lo
+        while k < n:
+            k *= 2
+        return k
+
+    buckets = {}
+    for r in recs:
+        iid = scene.view_intrinsic[r["v"]]
+        spherical = int(kinds[iid]) == cm.SPHERICAL
+        buckets.setdefault((pow2(len(r["rows"])), spherical), []).append(r)
+
+    chunk = max(1, 4096 // max(cfg.resection_samples, 1))
+    accepted = []
+    for (k, spherical), rs in buckets.items():
+        for lo in range(0, len(rs), chunk):
+            grp = rs[lo:lo + chunk]
+            P = min(chunk, pow2(len(grp), lo=1))
+            xy = np.zeros((P, k, 2))
+            b = np.zeros((P, k, 3))
+            X = np.zeros((P, k, 3))
+            valid = np.zeros((P, k), bool)
+            K = np.zeros((P, 3, 3))
+            wh = np.zeros((P, 2))
+            keys = np.zeros((P,) + keys_all.shape[1:], keys_all.dtype)
+            for i in range(P):
+                r = grp[min(i, len(grp) - 1)]
+                n = len(r["rows"])
+                xy[i, :n] = r["xy"]
+                b[i, :n] = r["b"]
+                X[i, :n] = r["X"]
+                valid[i, :n] = True
+                K[i] = K_all[scene.view_intrinsic[r["v"]]]
+                wh[i] = scene.view_wh[r["v"]]
+                keys[i] = r["key"]
+            if spherical:
+                res = robust.robust_resection_angular_batch(
+                    jnp.asarray(keys), jnp.asarray(b), jnp.asarray(X),
+                    jnp.asarray(valid), n_samples=cfg.resection_samples)
+            else:
+                res = robust.robust_resection_p3p_batch(
+                    jnp.asarray(keys), jnp.asarray(b), jnp.asarray(xy),
+                    jnp.asarray(X), jnp.asarray(K), jnp.asarray(valid),
+                    jnp.asarray(wh[:, 0]), jnp.asarray(wh[:, 1]),
+                    n_samples=cfg.resection_samples)
+            found = np.asarray(res.found)
+            inliers = np.asarray(res.inliers)
+            R_all = np.asarray(res.model[0])
+            t_all = np.asarray(res.model[1])
+            for i, r in enumerate(grp):
+                n = len(r["rows"])
+                inl = inliers[i, :n]
+                if (not found[i]
+                        or inl.sum() < cfg.min_resection_inliers_factor * 3):
+                    continue
+                accepted.append(dict(r, k=k, R=R_all[i], t=t_all[i],
+                                     inl=inl))
+    if not accepted:
+        return set()
+
+    # ---- one vmapped pose-only refine over all accepted views ----------
+    ref_buckets = {}
+    for r in accepted:
+        ref_buckets.setdefault(r["k"], []).append(r)
+    for k, rs in ref_buckets.items():
+        P = pow2(len(rs), lo=1)
+        rot0 = np.zeros((P, 3))
+        t0 = np.zeros((P, 3))
+        kind_v = np.zeros(P, np.int32)
+        params_v = np.zeros((P, params.shape[1]))
+        wh_v = np.ones((P, 2))
+        X = np.zeros((P, k, 3))
+        xy = np.zeros((P, k, 2))
+        w = np.zeros((P, k))
+        for i in range(P):
+            r = rs[min(i, len(rs) - 1)]
+            n = len(r["rows"])
+            rot0[i] = hostmath.logmap_np(r["R"])
+            t0[i] = r["t"]
+            iid = scene.view_intrinsic[r["v"]]
+            kind_v[i] = kinds[iid]
+            params_v[i] = params[iid]
+            wh_v[i] = scene.view_wh[r["v"]]
+            X[i, :n] = r["X"]
+            xy[i, :n] = r["xy"]
+            w[i, :n] = r["inl"].astype(float)
+        rot_f, t_f = robust.refine_poses_batch(
+            jnp.asarray(rot0, np.float32), jnp.asarray(t0, np.float32),
+            jnp.asarray(kind_v), jnp.asarray(params_v, np.float32),
+            jnp.asarray(wh_v, np.float32), jnp.asarray(X, np.float32),
+            jnp.asarray(xy, np.float32), jnp.asarray(w, np.float32))
+        rot_f = np.asarray(rot_f)
+        t_f = np.asarray(t_f)
+        for i, r in enumerate(rs):
+            R = hostmath.expmap_np(rot_f[i])
+            t = t_f[i]
+            pid = scene.view_pose[r["v"]]
+            scene.pose_valid[pid] = True
+            scene.pose_R[pid] = R
+            scene.pose_C[pid] = -R.T @ t
+    return {r["v"] for r in accepted}
 
 
 def _grow_structure(scene, index, posed, landmark_of_track, cfg):
@@ -704,12 +824,9 @@ def _grow_structure(scene, index, posed, landmark_of_track, cfg):
         Xl = scene.X[lm[missing]]
         Xc = np.einsum("nij,nj->ni", R, Xl - C)
         cams = scene.cameras
-        proj = np.asarray(cm.project_cam(
-            jnp.asarray(np.asarray(cams.kind)[iid]),
-            jnp.asarray(np.asarray(cams.params)[iid]),
-            jnp.asarray(np.asarray(cams.width)[iid]),
-            jnp.asarray(np.asarray(cams.height)[iid]),
-            jnp.asarray(Xc)))
+        proj = hostmath.padded_apply(cm.project_cam_jit, (
+            np.asarray(cams.kind)[iid], np.asarray(cams.params)[iid],
+            np.asarray(cams.width)[iid], np.asarray(cams.height)[iid], Xc))
         d = np.linalg.norm(proj - index.obs_xy[missing], axis=1)
         front = Xc[:, 2] > 0
         okm = missing[(d <= cfg.max_residual_px) & front]

@@ -273,3 +273,93 @@ def robust_resection_p3p(key, bearings, x2d, X3d, K, valid, w, h,
         logalpha0=ransac.logalpha0_point_to_point(w, h),
         mult_error=ransac.MULT_ERROR_POINT_TO_POINT,
         max_models=4, n_samples=n_samples, precision_sq=precision_sq)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_resection_p3p_batch(keys, bearings, x2d, X3d, K, valid, w, h,
+                               n_samples=1024):
+    """robust_resection_p3p vmapped over a view batch — the device half of
+    the batched resection group (sequential_SfM.cpp:863 Resection runs one
+    view per OpenMP task; here every view in the resection group solves its
+    whole AC-RANSAC in one device program).
+
+    keys (V, 2), bearings (V, K, 3), x2d (V, K, 2), X3d (V, K, 3),
+    K (V, 3, 3), valid (V, K), w/h (V,).  Returns an ACRansacResult with
+    leading dim V; model = (R (V,3,3), t (V,3))."""
+    f = partial(robust_resection_p3p, n_samples=n_samples)
+    return jax.vmap(f)(keys, bearings, x2d, X3d, K, valid, w, h)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_resection_angular_batch(keys, bearings, X3d, valid,
+                                   n_samples=1024):
+    """robust_resection_angular vmapped over a view batch (spherical)."""
+    f = partial(robust_resection_angular, n_samples=n_samples)
+    return jax.vmap(f)(keys, bearings, X3d, valid)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def refine_poses_batch(rotvec, t, kind, params, wh, X, xy, w_obs,
+                       iters=8, huber_a=16.0):
+    """Batched pose-only LM refine — SfM_Localizer::RefinePose
+    (SfM_Localizer.cpp:345) for a whole resection group in ONE device
+    program.  The reference refines each new pose with a ceres BA over a
+    tiny one-view scene; the round-3 engine instead built a FULL-scene BA
+    problem per view with one pose free (hundreds of extra dispatches +
+    compiles).  Here each view's own 2D-3D inliers drive an independent
+    6-parameter LM, vmapped over the group.
+
+    rotvec/t (V, 3) world->cam axis-angle + translation; kind (V,),
+    params (V, 8), wh (V, 2) camera rows; X (V, K, 3) world points;
+    xy (V, K, 2) pixels; w_obs (V, K) weights (0 = padding/outlier).
+    Returns (rotvec, t) refined."""
+    from openmvg_tpu.geometry import so3
+    from openmvg_tpu.models import cameras as cm
+
+    def res_one(p6, kind1, params1, wh1, X1, x1):
+        Xc = so3.rotate(p6[:3], X1) + p6[3:]
+        return cm.residual(kind1, params1, wh1[0], wh1[1], Xc, x1)
+
+    def run_one(rv, tv, kindv, paramsv, whv, Xv, xyv, wv):
+        def res_one_v(p6, X1, x1):
+            return res_one(p6, kindv, paramsv, whv, X1, x1)
+
+        def cost_vv(p6):
+            r = jax.vmap(res_one_v, in_axes=(None, 0, 0))(p6, Xv, xyv)
+            s = jnp.sum(r * r, -1)
+            rho = jnp.where(s <= huber_a, s,
+                            2.0 * jnp.sqrt(huber_a * jnp.maximum(s, 0.0))
+                            - huber_a)
+            return 0.5 * jnp.sum(rho * wv)
+
+        def step(carry, _):
+            p6, lam, cost = carry
+            r = jax.vmap(res_one_v, in_axes=(None, 0, 0))(p6, Xv, xyv)
+            J = jax.vmap(jax.jacfwd(res_one_v), in_axes=(None, 0, 0))(
+                p6, Xv, xyv)
+            s = jnp.sum(r * r, -1)
+            wh_ = jnp.where(s <= huber_a, 1.0,
+                            jnp.sqrt(huber_a / jnp.maximum(s, 1e-30)))
+            w = jnp.sqrt(wh_ * jnp.maximum(wv, 0.0))
+            rw = r * w[:, None]
+            Jw = J * w[:, None, None]
+            g = -jnp.einsum("kab,ka->b", Jw, rw)
+            H = jnp.einsum("kab,kac->bc", Jw, Jw)
+            Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-12)) \
+                + 1e-12 * jnp.eye(6, dtype=H.dtype)
+            d = jnp.linalg.solve(Hd, g)
+            p6_new = p6 + d
+            cost_new = cost_vv(p6_new)
+            accept = cost_new < cost
+            p6 = jnp.where(accept, p6_new, p6)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            cost = jnp.where(accept, cost_new, cost)
+            return (p6, lam, cost), None
+
+        p6_0 = jnp.concatenate([rv, tv])
+        (p6, _, _), _ = jax.lax.scan(
+            step, (p6_0, jnp.asarray(1e-4, p6_0.dtype), cost_vv(p6_0)),
+            None, length=iters)
+        return p6[:3], p6[3:]
+
+    return jax.vmap(run_one)(rotvec, t, kind, params, wh, X, xy, w_obs)

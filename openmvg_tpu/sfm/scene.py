@@ -17,6 +17,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from openmvg_tpu.models import cameras as cm
+from openmvg_tpu.utils import hostmath
 
 UNDEF = np.int32(-1)
 
@@ -151,9 +152,6 @@ def reprojection_residuals(scene: Scene):
 
     Returns (residuals (M, 2), info dict from obs_arrays_for_ba).
     """
-    import jax.numpy as jnp
-    from openmvg_tpu.models.cameras import project_cam
-
     info = scene.obs_arrays_for_ba()
     if len(info["obs_idx"]) == 0:
         return np.zeros((0, 2)), info
@@ -165,8 +163,9 @@ def reprojection_residuals(scene: Scene):
     params = np.asarray(cams.params)[info["intr_id"]]
     w = np.asarray(cams.width)[info["intr_id"]]
     h = np.asarray(cams.height)[info["intr_id"]]
-    proj = np.asarray(project_cam(jnp.asarray(k), jnp.asarray(params),
-                                  jnp.asarray(w), jnp.asarray(h), jnp.asarray(Xc)))
+    # pow2-padded jitted call: an eager project_cam is ~20 one-op XLA
+    # programs per invocation through the tunnel (utils/hostmath.py)
+    proj = hostmath.padded_apply(cm.project_cam_jit, (k, params, w, h, Xc))
     return proj - info["x"], info
 
 
