@@ -336,9 +336,12 @@ def cmd_filter(args):
     feats, descs = _load_features_for_scene(scene, matchdir)
     putative = load_matches(args.matches)
     t0 = time.time()
+    # 4.0 px upper bound; ortho runs at 2.0 px
+    # (main_GeometricFilter.cpp:342-361 functor constructor arguments)
+    thr = 2.0 if args.geometric_model == "o" else 4.0
     filtered = geometric_filter(
         scene, feats, putative, model=args.geometric_model,
-        threshold_px=4.0, n_samples=args.max_iteration,
+        threshold_px=thr, n_samples=args.max_iteration,
         guided=args.guided_matching, descs=descs)
     save_matches(filtered, args.output_file)
     n_m = sum(len(m) for m in filtered.values())
@@ -1321,7 +1324,10 @@ def main(argv=None):
     p.add_argument("-i", "--input_file", required=True)
     p.add_argument("-m", "--matches", required=True)
     p.add_argument("-o", "--output_file", required=True)
-    p.add_argument("-g", "--geometric_model", default="f")
+    # f|e|h|a|u|o like main_GeometricFilter.cpp:165-184 (u = upright
+    # 3-pt essential, o = orthographic essential)
+    p.add_argument("-g", "--geometric_model", default="f",
+                   choices=["f", "e", "h", "a", "u", "o"])
     p.add_argument("-r", "--guided_matching", action="store_true")
     p.add_argument("--max_iteration", type=int, default=2048)
     p.set_defaults(fn=cmd_filter)

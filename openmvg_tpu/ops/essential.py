@@ -308,7 +308,7 @@ def solve_essential_upright_3pt(b1, b2):
     ax, ay, az = b1[..., 0], b1[..., 1], b1[..., 2]
     bx, by, bz = b2[..., 0], b2[..., 1], b2[..., 2]
     A = jnp.stack([ax * by, -az * by, -bx * ay, -bz * ay], axis=-1)  # (...,3,4)
-    n = nullspace(A)                                                 # (...,4)
+    n = nullspace(A)[..., 0, :]                                      # (...,4)
     zero = jnp.zeros_like(n[..., 0])
     E = jnp.stack([
         jnp.stack([zero, n[..., 2], zero], axis=-1),

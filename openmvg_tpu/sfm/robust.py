@@ -162,6 +162,57 @@ def robust_essential_angular(key, b1, b2, valid,
         max_models=1, n_samples=n_samples, precision_sq=precision_sq)
 
 
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_essential_upright(key, b1, b2, valid,
+                             n_samples=1024, precision_sq=jnp.inf):
+    """3-pt upright AC-RANSAC on bearings with angular error — the
+    GeometricFilter '-g u' model
+    (GeometricFilter_ESphericalMatrix_AC_Angular<true>,
+    E_ACRobust_Angular.hpp:105-111 with ThreePointUprightRelativePoseSolver
+    dispatched from main_GeometricFilter.cpp:350-356)."""
+    def fit(sub):
+        a, b = sub
+        E = essential.solve_essential_upright_3pt(a, b)
+        return E[None], jnp.ones((1,), bool)
+
+    def err(E, data):
+        a, b = data
+        return essential.angular_error(E, a, b)
+
+    return ransac.ac_ransac(
+        key, fit, err, (b1, b2), valid, min_samples=3,
+        logalpha0=ransac.LOGALPHA0_ANGULAR,
+        mult_error=ransac.MULT_ERROR_ANGULAR,
+        max_models=1, n_samples=n_samples, precision_sq=precision_sq)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_essential_ortho(key, x1, x2, valid, w2, h2,
+                           n_samples=1024, precision_sq=jnp.inf):
+    """3-pt orthographic-E AC-RANSAC on camera-plane points — the
+    GeometricFilter '-g o' model (GeometricFilter_EOMatrix_RA,
+    Eo_Robust.hpp:105-120: ThreePointKernel +
+    OrthographicSymmetricEpipolarDistanceError; precision arrives already
+    converted to camera-plane units by the caller, Eo_Robust.hpp:96-100;
+    NFA logalpha0 stays on image dimensions like the reference kernel,
+    robust_estimator_ACRansacKernelAdaptator.hpp:407).
+
+    x1, x2: (N, 2) camera-plane (undistorted, normalized) coordinates."""
+    def fit(sub):
+        a, b = sub
+        return essential.solve_essential_ortho_3pt(a, b)
+
+    def err(E, data):
+        a, b = data
+        return essential.ortho_essential_error_sq(E, a, b)
+
+    return ransac.ac_ransac(
+        key, fit, err, (x1, x2), valid, min_samples=3,
+        logalpha0=ransac.logalpha0_point_to_line(w2, h2, 0.5),
+        mult_error=ransac.MULT_ERROR_POINT_TO_LINE,
+        max_models=2, n_samples=n_samples, precision_sq=precision_sq)
+
+
 def robust_resection_angular(key, bearings, X3d, valid,
                              n_samples=1024, precision_sq=jnp.inf):
     """AC-RANSAC P3P with angular reprojection error — the spherical
@@ -190,6 +241,65 @@ def robust_resection_angular(key, bearings, X3d, valid,
 
 robust_resection_angular = partial(jax.jit, static_argnames=("n_samples",))(
     robust_resection_angular)
+
+
+# ---------------------------------------------------------------------------
+# vmapped pair batches (the GeometricFilter device half: the reference
+# OpenMPs the pair loop, GeometricFilter.hpp:79-82; here each pow2 bucket
+# of pairs is ONE device program)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_samples", "use_8pt"))
+def robust_fundamental_batch(keys, x1, x2, valid, w1, h1, w2, h2,
+                             n_samples=1024, precision_sq=jnp.inf,
+                             use_8pt=False):
+    f = partial(robust_fundamental, n_samples=n_samples,
+                precision_sq=precision_sq, use_8pt=use_8pt)
+    return jax.vmap(f)(keys, x1, x2, valid, w1, h1, w2, h2)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_homography_batch(keys, x1, x2, valid, w1, h1, w2, h2,
+                            n_samples=1024, precision_sq=jnp.inf):
+    f = partial(robust_homography, n_samples=n_samples,
+                precision_sq=precision_sq)
+    return jax.vmap(f)(keys, x1, x2, valid, w1, h1, w2, h2)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_essential_batch(keys, b1, b2, x1, x2, K1, K2, valid, w2, h2,
+                           n_samples=1024, precision_sq=jnp.inf):
+    f = partial(robust_essential, n_samples=n_samples,
+                precision_sq=precision_sq)
+    return jax.vmap(f)(keys, b1, b2, x1, x2, K1, K2, valid, w2, h2)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_essential_angular_batch(keys, b1, b2, valid, n_samples=1024,
+                                   precision_sq=jnp.inf):
+    f = partial(robust_essential_angular, n_samples=n_samples,
+                precision_sq=precision_sq)
+    return jax.vmap(f)(keys, b1, b2, valid)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_essential_upright_batch(keys, b1, b2, valid, n_samples=1024,
+                                   precision_sq=jnp.inf):
+    f = partial(robust_essential_upright, n_samples=n_samples,
+                precision_sq=precision_sq)
+    return jax.vmap(f)(keys, b1, b2, valid)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def robust_essential_ortho_batch(keys, x1, x2, valid, w2, h2, precision_sq,
+                                 n_samples=1024):
+    """precision_sq is per-pair (camera-plane conversion differs with each
+    pair's focals, Eo_Robust.hpp:96-100)."""
+    def f(key, a, b, v, w2_, h2_, prec):
+        return robust_essential_ortho(key, a, b, v, w2_, h2_,
+                                      n_samples=n_samples, precision_sq=prec)
+
+    return jax.vmap(f)(keys, x1, x2, valid, w2, h2, precision_sq)
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +336,97 @@ def robust_relative_pose(key, b1, b2, x1, x2, K1, K2, valid, w2, h2,
     return RelativePoseInfo(R=R, t=t, essential=E, inliers=res.inliers,
                             threshold_sq=res.threshold_sq, nfa=res.nfa,
                             found=found)
+
+
+@partial(jax.jit, static_argnames=("round_size", "max_rounds", "angular"))
+def robust_relative_pose_adaptive(key, b1, b2, x1, x2, K1, K2, valid, w2, h2,
+                                  round_size=512, max_rounds=8,
+                                  angular=False, precision_sq=jnp.inf):
+    """robustRelativePose through the ADAPTIVE-budget AC-RANSAC
+    (ops/ransac.ac_ransac_adaptive = robust_estimator_ACRansac.hpp:326-489
+    early-exit + inlier-resampling semantics): the single-estimation path
+    for MakeInitialPair3D's 4096-iteration refinement
+    (sequential_SfM.cpp:532 — round_size * max_rounds = the same budget,
+    easy pairs exit after ~3 rounds).  Returns (RelativePoseInfo,
+    n_rounds)."""
+    from openmvg_tpu.ops import ransac as rn
+
+    if angular:
+        def fit(sub):
+            a, b = sub
+            E = essential.solve_essential_8pt(a, b)
+            return E[None], jnp.ones((1,), bool)
+
+        def err(E, data):
+            a, b = data
+            return essential.angular_error(E, a, b)
+
+        res, n_rounds = rn.ac_ransac_adaptive(
+            key, fit, err, (b1, b2), valid, min_samples=8,
+            logalpha0=rn.LOGALPHA0_ANGULAR,
+            mult_error=rn.MULT_ERROR_ANGULAR, max_models=1,
+            round_size=round_size, max_rounds=max_rounds,
+            precision_sq=precision_sq)
+        min_samples = 8
+    else:
+        K1inv = jnp.linalg.inv(K1)
+        K2invT = jnp.linalg.inv(K2).T
+
+        def fit(sub):
+            a, b = sub
+            return essential.solve_essential_5pt(a, b)
+
+        def err(E, data):
+            F = K2invT @ E @ K1inv
+            return fundamental.point_line_error_sq(F, x1, x2)
+
+        res, n_rounds = rn.ac_ransac_adaptive(
+            key, fit, err, (b1, b2), valid, min_samples=5,
+            logalpha0=rn.logalpha0_point_to_line(w2, h2, 0.5),
+            mult_error=rn.MULT_ERROR_POINT_TO_LINE, max_models=10,
+            round_size=round_size, max_rounds=max_rounds,
+            precision_sq=precision_sq)
+        min_samples = 5
+    E = res.model
+    w = res.inliers.astype(E.dtype)
+    R, t, n_good = essential.relative_pose_from_essential(E, b1, b2, weights=w)
+    found = res.found & (jnp.sum(res.inliers) > 2.5 * min_samples) & (n_good > 0)
+    return RelativePoseInfo(R=R, t=t, essential=E, inliers=res.inliers,
+                            threshold_sq=res.threshold_sq, nfa=res.nfa,
+                            found=found), n_rounds
+
+
+@partial(jax.jit, static_argnames=("round_size", "max_rounds"))
+def robust_resection_p3p_adaptive(key, bearings, x2d, X3d, K, valid, w, h,
+                                  round_size=256, max_rounds=8,
+                                  precision_sq=jnp.inf):
+    """Adaptive-budget AC-RANSAC P3P — the localizer's single-estimation
+    path (SfM_Localizer::Localize, SfM_Localizer.cpp:109, with the
+    reference's data-dependent iteration budget).  Returns
+    (ACRansacResult, n_rounds)."""
+    from openmvg_tpu.ops import ransac as rn
+
+    def fit(sub):
+        b, X = sub
+        R, t, ok = resection.solve_p3p(b, X)
+        return (R, t), ok
+
+    def err(model, data):
+        R, t = model
+        _, X = data
+        Xc = X @ R.T + t
+        p = Xc[..., :2] / jnp.where(
+            jnp.abs(Xc[..., 2:3]) < 1e-30, 1e-30, Xc[..., 2:3])
+        pix = p @ K[:2, :2].T + K[:2, 2]
+        d = pix - x2d
+        return jnp.sum(d * d, axis=-1)
+
+    return rn.ac_ransac_adaptive(
+        key, fit, err, (bearings, X3d), valid, min_samples=3,
+        logalpha0=rn.logalpha0_point_to_point(w, h),
+        mult_error=rn.MULT_ERROR_POINT_TO_POINT, max_models=4,
+        round_size=round_size, max_rounds=max_rounds,
+        precision_sq=precision_sq)
 
 
 @partial(jax.jit, static_argnames=("n_samples", "angular"))

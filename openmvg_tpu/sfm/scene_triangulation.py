@@ -85,11 +85,9 @@ def triangulate_tracks(scene: Scene, obs_view, obs_x, track_of_obs, n_tracks,
     pp = np.asarray(cams.params)[iid]
     ww = np.asarray(cams.width)[iid]
     hh = np.asarray(cams.height)[iid]
-    import jax.numpy as jnpp
+    from openmvg_tpu.utils import hostmath
 
-    b = np.asarray(cm.bearing(jnpp.asarray(kk), jnpp.asarray(pp),
-                              jnpp.asarray(ww), jnpp.asarray(hh),
-                              jnpp.asarray(ox)))
+    b = hostmath.padded_apply(cm.bearing_jit, (kk, pp, ww, hh, ox))
     R = scene.pose_R[pid]
     t = -np.einsum("nij,nj->ni", R, scene.pose_C[pid])
 
@@ -107,5 +105,5 @@ def triangulate_tracks(scene: Scene, obs_view, obs_x, track_of_obs, n_tracks,
         jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(bs), jnp.asarray(ws),
         jnp.asarray(kinds), jnp.asarray(prs), jnp.asarray(wis),
         jnp.asarray(his), jnp.asarray(xs),
-        jnp.cos(jnp.radians(min_angle_deg)), max_residual_px**2)
+        float(np.cos(np.radians(min_angle_deg))), max_residual_px**2)
     return np.asarray(X), np.asarray(ok)

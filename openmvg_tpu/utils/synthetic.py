@@ -148,6 +148,7 @@ def big_ba_problem(n_poses=256, n_points=300_000, obs_per_point=14, seed=0,
     obs_per_point poses inside an angular window.  Returns
     (ba.BAProblem, n_obs).  BASELINE config-5 scale fixture shared by
     tests/test_big_scene.py and bench.py."""
+    import jax
     import jax.numpy as jnp
 
     from openmvg_tpu.geometry import so3
@@ -192,6 +193,7 @@ def big_ba_problem(n_poses=256, n_points=300_000, obs_per_point=14, seed=0,
         mask_X=jnp.ones(n_points, dt),
         prior_C=jnp.zeros((n_poses, 3), dt),
         prior_w=jnp.zeros((n_poses, 3), dt),
-        pt_obs=jnp.asarray(ba.build_pt_obs(point_id, np.ones(O), n_points)),
+        pt_obs=jax.tree_util.tree_map(
+            jnp.asarray, ba.build_pt_obs(point_id, np.ones(O), n_points)),
     )
     return prob, O
