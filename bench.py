@@ -168,9 +168,13 @@ def bench_ba():
     from openmvg_tpu import native
 
     if native.available():
-        v = np.asarray(prob.obs_pose, np.int32)
-        p = np.asarray(prob.obs_point, np.int32)
-        obs_x64 = np.asarray(prob.obs_x, np.float64)
+        # compact table for the CPU side: the TPU problem is in the
+        # point-major layout with obs_w=0 slack slots the C++ LM has no
+        # weight concept for
+        real = np.asarray(prob.obs_w) != 0
+        v = np.asarray(prob.obs_pose, np.int32)[real]
+        p = np.asarray(prob.obs_point, np.int32)[real]
+        obs_x64 = np.asarray(prob.obs_x, np.float64)[real]
         rotvec64 = np.asarray(prob.rotvec, np.float64).copy()
         t64 = np.asarray(prob.t, np.float64).copy()
         X64 = np.asarray(prob.X, np.float64).copy()

@@ -39,21 +39,32 @@ ADJUST_NONE = "NONE"
 
 
 class PtObsTable(NamedTuple):
-    """Two-level CSR gather tables for point-block segment sums.
+    """Point-side reduction tables.
 
-    Level 1: `rows` (L1, R) holds observation row ids grouped by point,
-    padded with O (the apply side appends a zero row at index O); points
-    with more than R observations span several consecutive rows.
-    Level 2 folds rows back to points: `groups` (L, M) holds row ids into
-    the level-1 sums (padded with L1) when the max rows-per-point M is
-    small, else None and the fold runs as a segment_sum over `row_point`
-    (L1,) — L1 ~ L rows, never O rows, so the scatter stays cheap even
-    for hub points.  Rebuild whenever obs_w's zero pattern changes: rows
-    with obs_w == 0 are excluded at build time, so activating a padded
-    row without rebuilding would silently drop it from point-side sums.
+    Two forms:
+
+    * POINT-MAJOR (rows is None, the production layout): the observation
+      table itself is laid out in (L1, R) row-major blocks — row r owns
+      obs slots [r*R, (r+1)*R), all belonging to point row_point[r]
+      (points with more than R observations span several consecutive
+      rows; slack slots have obs_w = 0).  Point reductions are then a
+      contiguous reshape-sum — zero gathers — and point->obs expansion
+      is an L1-row gather + broadcast.  TPU gathers measured ~2.7 GB/s
+      vs ~800 GB/s contiguous (round 4), so this layout is the
+      speed-of-light point side.  R = (obs count) // len(row_point),
+      static from shapes.
+    * gather CSR (rows (L1, R) of obs row ids, padded with O): legacy
+      form for externally-built problems whose obs order is fixed.
+
+    Level 2 folds rows back to points either via `groups` (L, M) row ids
+    into the level-1 sums (padded with L1) or, when a hub point would
+    blow M up, via a segment_sum over `row_point` — L1 ~ L rows, never
+    O rows.  Rebuild whenever obs_w's zero pattern changes: zero-weight
+    rows are excluded at build time, so activating a padded row without
+    rebuilding would silently drop it from point-side sums.
     """
 
-    rows: jnp.ndarray       # (L1, R) int32
+    rows: jnp.ndarray       # (L1, R) int32, or None => point-major layout
     row_point: jnp.ndarray  # (L1,) int32
     groups: jnp.ndarray     # (L, M) int32 or None
 
@@ -133,7 +144,7 @@ def _gather_params(p: BAProblem):
     return (
         pose6[p.obs_pose],          # (O, 6)
         intr_rows(p.intr_params),   # (O, 8)
-        p.X[p.obs_point],           # (O, 3)
+        _pt_expand(p.X, p),         # (O, 3)
         intr_rows(p.intr_kind),
         intr_rows(p.intr_wh),
     )
@@ -187,7 +198,7 @@ def jacobians(p: BAProblem, cfg: BAConfig):
     r = r * w[:, None]
     Jp6 = Jp6 * w[:, None, None] * p.mask_pose[p.obs_pose][:, None, :]
     Ji8 = Ji8 * w[:, None, None] * p.mask_intr[p.obs_intr][:, None, :]
-    Jx3 = Jx3 * w[:, None, None] * p.mask_X[p.obs_point][:, None, None]
+    Jx3 = Jx3 * w[:, None, None] * _pt_expand(p.mask_X[:, None], p)[:, None, :]
     return r, Jp6, Ji8, Jx3
 
 
@@ -199,21 +210,44 @@ _ONEHOT_SEGMENTS_MAX = 1024
 # max elements of the materialized (chunk, num) one-hot: 2^26 f32 = 256 MB
 _ONEHOT_BUDGET_ELEMS = 1 << 26
 
+_PALLAS_SEGSUM = None
+
+
+def _pallas_segsum_ok():
+    """Pallas segsum availability, decided once per process (trace-time:
+    CPU meshes and tests keep the XLA path)."""
+    global _PALLAS_SEGSUM
+    if _PALLAS_SEGSUM is None:
+        try:
+            from openmvg_tpu.ops import pallas_segsum
+
+            _PALLAS_SEGSUM = pallas_segsum.available()
+        except Exception:
+            _PALLAS_SEGSUM = False
+    return _PALLAS_SEGSUM
+
 
 def _seg_sum(vals, ids, num, axis=None):
     """Segment sum with an MXU path for small segment counts.
 
     TPU scatter-add lowers to row-serial stores: ~49 ms for 1M rows
     regardless of payload (measured v5e, round 3).  For few segments
-    (camera/intrinsic blocks) the one-hot matmul (num, O) @ (O, k) does
-    the same reduction in ~2 ms on the MXU; point blocks (10^5 segments)
-    stay on the gather/scatter paths.  The one-hot is materialized, so
-    its (O, num) footprint is capped at _ONEHOT_BUDGET_ELEMS by chunking
-    the matmul over O with a scan (at 4.2M obs x 1024 segments an
-    unchunked one-hot would be 17 GB — over a v5e's HBM)."""
+    (camera/intrinsic blocks) a one-hot matmul does the reduction on the
+    MXU: on TPU via the Pallas kernel (ops/pallas_segsum.py — one-hot
+    tiles generated in VMEM, ~2.5x the XLA one-hot which materializes
+    (O, num) in HBM: 512 MB at 1M obs x 128 poses); the XLA fallback is
+    capped at _ONEHOT_BUDGET_ELEMS by chunking the matmul over O with a
+    scan (at 4.2M obs x 1024 segments an unchunked one-hot would be
+    17 GB — over a v5e's HBM).  Point blocks (10^5 segments) use the
+    point-major layout / scatter paths instead."""
     O = vals.shape[0]
     if num <= _ONEHOT_SEGMENTS_MAX:
         flat = vals.reshape(O, -1)
+        if axis is None and num > 8 and O >= 8192 and _pallas_segsum_ok():
+            from openmvg_tpu.ops.pallas_segsum import seg_sum_mxu
+
+            out = seg_sum_mxu(flat, ids, num)
+            return out.reshape((num,) + vals.shape[1:])
         seg = jnp.arange(num, dtype=ids.dtype)
 
         if O * num <= _ONEHOT_BUDGET_ELEMS:
@@ -242,7 +276,8 @@ def _seg_sum(vals, ids, num, axis=None):
     return out
 
 
-def build_pt_obs(obs_point, obs_w, n_points, group_budget_elems=1 << 24):
+def build_pt_obs(obs_point, obs_w, n_points, group_budget_elems=1 << 24,
+                 r_fixed=None):
     """Host-side two-level CSR gather tables (PtObsTable) for point-block
     segment sums.
 
@@ -270,8 +305,23 @@ def build_pt_obs(obs_point, obs_w, n_points, group_budget_elems=1 << 24):
     counts = np.bincount(ids, minlength=n_points)
     nz = counts[counts > 0]
     p99 = int(np.percentile(nz, 99))
-    R = 1 << max(2, (max(p99, 1) - 1).bit_length())
-    R = min(R, 1 << (int(counts.max()) - 1).bit_length())
+    r_hi = 1 << max(2, (max(p99, 1) - 1).bit_length())
+    r_hi = min(r_hi, 1 << (int(counts.max()) - 1).bit_length())
+    # pick the row width minimizing total cost: every slot (real or
+    # slack) pays full residual/Jacobian/matvec cost in the point-major
+    # layout (fill factor), while every extra ROW pays level-2 fold +
+    # expansion gather cost (~3 slot-equivalents each, measured round 4)
+    if r_fixed is not None:
+        R = r_fixed
+    else:
+        R, best = r_hi, None
+        for cand in (4, 8, 16, 32):
+            if cand > r_hi:
+                break
+            rows_c = int(np.sum(-(-counts // cand)) + np.sum(counts == 0))
+            cost = rows_c * cand + 3 * rows_c
+            if best is None or cost < best:
+                R, best = cand, cost
     nrow = np.maximum((counts + R - 1) // R, 1)  # every point owns >= 1 row
     M = int(nrow.max())
     L1 = int(nrow.sum())
@@ -295,23 +345,82 @@ def build_pt_obs(obs_point, obs_w, n_points, group_budget_elems=1 << 24):
     return PtObsTable(rows=rows, row_point=row_point, groups=groups)
 
 
+def point_major_layout(obs_pose, obs_intr, obs_point, obs_x, obs_w,
+                       n_points, row_pad="pow2", r_fixed=None):
+    """Host-side: reorder + pad the observation table into the
+    POINT-MAJOR layout (see PtObsTable): each point's observations are
+    contiguous in R-slot rows, so every point-side reduction in the
+    solver is a contiguous reshape-sum instead of a gather/scatter.
+
+    row_pad: "pow2" pads the row count to a power of two (executable
+    reuse across a growing scene — the incremental engine's mode); an
+    int pads to that multiple instead (one-shot problems, minimal
+    slack).  Returns the relaid
+    (obs_pose, obs_intr, obs_point, obs_x, obs_w, PtObsTable)."""
+    t = build_pt_obs(obs_point, obs_w, n_points, r_fixed=r_fixed)
+    L1, R = t.rows.shape
+    if row_pad == "pow2":
+        L1p = _pow2(max(L1, 1), 8)
+    else:
+        L1p = -(-max(L1, 1) // row_pad) * row_pad
+    O = len(obs_point)
+    perm = np.full((L1p, R), O, np.int64)
+    perm[:L1] = t.rows
+    perm = perm.reshape(-1)
+
+    def lay(a, fill=0):
+        a = np.asarray(a)
+        zrow = np.full((1,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, zrow])[perm]
+
+    row_point = np.concatenate(
+        [t.row_point, np.full(L1p - L1, n_points, np.int32)])
+    table = PtObsTable(rows=None, row_point=row_point, groups=t.groups)
+    return (lay(obs_pose), lay(obs_intr), lay(obs_point), lay(obs_x),
+            lay(obs_w), table)
+
+
 def _pt_seg_sum(vals, p: "BAProblem", num, axis=None):
-    """Point-block segment sum: two-level CSR gather + dense sums when the
-    problem carries pt_obs (single-shard path), scatter-add otherwise."""
+    """Point-block segment sum: reshape-sum (point-major layout) or
+    two-level CSR gather + dense sums when the problem carries pt_obs
+    (single-shard path), scatter-add otherwise."""
     if p.pt_obs is None or axis is not None:
         return _seg_sum(vals, p.obs_point, num, axis)
     t = p.pt_obs
-    z = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
-    padded = jnp.concatenate([vals, z], axis=0)
-    row_sums = jnp.sum(padded[t.rows], axis=1)  # (L1, ...)
-    if t.rows.shape[0] == num and t.groups is not None \
-            and t.groups.shape[1] == 1:
-        return row_sums  # one row per point: level 2 is the identity
+    if t.rows is None:  # point-major: contiguous blocks, zero gathers
+        L1 = t.row_point.shape[0]
+        R = vals.shape[0] // L1
+        row_sums = jnp.sum(vals.reshape((L1, R) + vals.shape[1:]), axis=1)
+        if L1 == num and t.groups is not None and t.groups.shape[1] == 1:
+            return row_sums  # one row per point: level 2 is the identity
+    else:
+        z = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
+        padded = jnp.concatenate([vals, z], axis=0)
+        row_sums = jnp.sum(padded[t.rows], axis=1)  # (L1, ...)
+        if t.rows.shape[0] == num and t.groups is not None \
+                and t.groups.shape[1] == 1:
+            return row_sums  # one row per point: level 2 is the identity
     if t.groups is None:
         return jax.ops.segment_sum(row_sums, t.row_point, num_segments=num)
     z1 = jnp.zeros((1,) + row_sums.shape[1:], row_sums.dtype)
     rs = jnp.concatenate([row_sums, z1], axis=0)
     return jnp.sum(rs[t.groups], axis=1)
+
+
+def _pt_expand(y, p: "BAProblem"):
+    """Per-point vectors (L, k) -> per-obs rows (O, k).  Point-major
+    problems broadcast an L1-row gather over the R contiguous slots
+    (the (O,)-gather y[p.obs_point] runs ~2.7 GB/s on TPU)."""
+    t = p.pt_obs
+    if t is not None and t.rows is None:
+        O = p.obs_point.shape[0]
+        L1 = t.row_point.shape[0]
+        R = O // L1
+        rp = jnp.minimum(t.row_point, y.shape[0] - 1)  # clamp pad rows
+        yr = y[rp]                                     # (L1, k)
+        return jnp.broadcast_to(
+            yr[:, None], (L1, R) + y.shape[1:]).reshape((O,) + y.shape[1:])
+    return y[p.obs_point]
 
 
 def _block_outer_pt(J, p: "BAProblem", num, axis=None):
@@ -436,7 +545,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
     Hpp_inv_gx = _solve_sym3(Hpp, gx)
 
     # reduced RHS: b = gc - E Hpp^-1 gx  where E v = Jc^T (Jx v)
-    z = _bmatvec(Jx3, Hpp_inv_gx[p.obs_point])
+    z = _bmatvec(Jx3, _pt_expand(Hpp_inv_gx, p))
     bp, bi = _camera_rmatvec(z, p, Jp6, Ji8, n_pose, n_intr, axis)
     bp = gp + gprior - bp
     bi = gi - bi
@@ -458,7 +567,7 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
         u = _camera_matvec(vp, vi, p, Jp6, Ji8)
         w = _pt_seg_sum(_brmatvec(Jx3, u), p, n_pts, point_axis)
         y = _solve_sym3(Hpp, w)
-        zz = _bmatvec(Jx3, y[p.obs_point])
+        zz = _bmatvec(Jx3, _pt_expand(y, p))
         sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr, axis)
         sp = sp + jnp.einsum("pij,pj->pi", Hprior, vp)
         sp = sp + lam * dcc_p * vp
@@ -740,9 +849,9 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
     n_obs, n_pose, n_intr, n_pts = (len(obs_pose), len(pose_ids),
                                     len(intr_ids), len(point_ids))
     if pad_pow2:
-        O2, P2, L2 = _pow2(max(n_obs, 1)), _pow2(max(n_pose, 1), 4), _pow2(max(n_pts, 1))
+        P2, L2 = _pow2(max(n_pose, 1), 4), _pow2(max(n_pts, 1))
     else:
-        O2, P2, L2 = n_obs, n_pose, n_pts
+        P2, L2 = n_pose, n_pts
 
     def padv(a, n, fill=0.0):
         a = np.asarray(a)
@@ -751,7 +860,14 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
         return np.concatenate(
             [a, np.full((n - len(a),) + a.shape[1:], fill, a.dtype)], axis=0)
 
-    obs_w = padv(np.ones(n_obs), O2)
+    # point-major observation layout (see PtObsTable): the obs count is
+    # determined by the layout (L1p * R, a pow2 under pad_pow2 since both
+    # factors are), replacing the former flat pow2 obs padding
+    (obs_pose, obs_intr, obs_point, obs_x_arr, obs_w,
+     pt_table) = point_major_layout(
+        obs_pose, obs_intr, obs_point, np.asarray(info["x"], np.float64),
+        np.ones(n_obs), L2)
+    O2 = len(obs_pose)
     X_all = (np.concatenate([scene.X, scene.cp_X]) if n_cp
              else scene.X)
     X_arr = padv(X_all[point_ids], L2)
@@ -770,10 +886,10 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
                 prior_C[pm[pid]] = scene.prior_center[v]
                 prior_w[pm[pid]] = w
     p = BAProblem(
-        obs_pose=jnp.asarray(padv(obs_pose, O2), jnp.int32),
-        obs_intr=jnp.asarray(padv(obs_intr, O2), jnp.int32),
-        obs_point=jnp.asarray(padv(obs_point, O2), jnp.int32),
-        obs_x=jnp.asarray(padv(info["x"], O2), dtype),
+        obs_pose=jnp.asarray(obs_pose, jnp.int32),
+        obs_intr=jnp.asarray(obs_intr, jnp.int32),
+        obs_point=jnp.asarray(obs_point, jnp.int32),
+        obs_x=jnp.asarray(obs_x_arr, dtype),
         obs_w=jnp.asarray(obs_w, dtype),
         rotvec=jnp.asarray(padv(rotvec, P2), dtype),
         t=jnp.asarray(padv(t, P2), dtype),
@@ -788,8 +904,7 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
         mask_X=jnp.asarray(mask_X_arr, dtype),
         prior_C=jnp.asarray(prior_C, dtype),
         prior_w=jnp.asarray(prior_w, dtype),
-        pt_obs=jax.tree_util.tree_map(
-            jnp.asarray, build_pt_obs(padv(obs_point, O2), obs_w, L2)),
+        pt_obs=jax.tree_util.tree_map(jnp.asarray, pt_table),
     )
     return p, dict(pose_ids=pose_ids, intr_ids=intr_ids, point_ids=point_ids,
                    n_scene_points=len(scene.X_valid))

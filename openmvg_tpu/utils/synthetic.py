@@ -176,12 +176,17 @@ def big_ba_problem(n_poses=256, n_points=300_000, obs_per_point=14, seed=0,
     O = len(pose_id)
     dt = dtype or jnp.float32
     X0 = X + rng.normal(scale=noise_X, size=X.shape)
+    (pose_id, intr_id, point_id, x, obs_w, pt_table) = \
+        ba.point_major_layout(pose_id.astype(np.int32),
+                              np.zeros(O, np.int32),
+                              point_id.astype(np.int32), x, np.ones(O),
+                              n_points, row_pad=1024)
     prob = ba.BAProblem(
         obs_pose=jnp.asarray(pose_id, jnp.int32),
-        obs_intr=jnp.zeros(O, jnp.int32),
+        obs_intr=jnp.asarray(intr_id, jnp.int32),
         obs_point=jnp.asarray(point_id, jnp.int32),
         obs_x=jnp.asarray(x, dt),
-        obs_w=jnp.ones(O, dt),
+        obs_w=jnp.asarray(obs_w, dt),
         rotvec=jnp.asarray(rotvec, dt),
         t=jnp.asarray(t, dt),
         intr_kind=jnp.asarray([1], jnp.int32),
@@ -193,7 +198,6 @@ def big_ba_problem(n_poses=256, n_points=300_000, obs_per_point=14, seed=0,
         mask_X=jnp.ones(n_points, dt),
         prior_C=jnp.zeros((n_poses, 3), dt),
         prior_w=jnp.zeros((n_poses, 3), dt),
-        pt_obs=jax.tree_util.tree_map(
-            jnp.asarray, ba.build_pt_obs(point_id, np.ones(O), n_points)),
+        pt_obs=jax.tree_util.tree_map(jnp.asarray, pt_table),
     )
     return prob, O
