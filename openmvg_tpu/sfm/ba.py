@@ -150,10 +150,87 @@ def _gather_params(p: BAProblem):
     )
 
 
-def residuals(p: BAProblem):
+def residuals(p: BAProblem, cam_fast=False):
+    if cam_fast:
+        return _fast_pinhole_residuals(p)
     g = _gather_params(p)
     r = jax.vmap(_residual_one)(g[0], g[1], g[2], g[3], g[4], p.obs_x)
     return r  # (O, 2)
+
+
+# ---------------------------------------------------------------------------
+# closed-form pinhole path (cam_fast): the generic vmapped-jacfwd path
+# evaluates every camera model's branches under 17 tangents — 27.9 ms per
+# call at 1.6M obs slots (measured round 4).  When every intrinsic is a
+# plain PINHOLE (the dominant production case), residuals and all three
+# Jacobian blocks have ~50-flop closed forms in (O, 3) vectors.
+# Parity: the same math ceres' autodiffed Pinhole functor produces
+# (sfm_data_BA_ceres_camera_functor.hpp), hand-derived; validated against
+# the jacfwd path in tests/test_ba.py.
+# ---------------------------------------------------------------------------
+
+def _fast_pinhole_project(p: BAProblem):
+    pose6 = jnp.concatenate([p.rotvec, p.t], axis=-1)[p.obs_pose]  # (O, 6)
+    intr = (jnp.broadcast_to(p.intr_params[0],
+                             (p.obs_pose.shape[0],) + p.intr_params.shape[1:])
+            if p.intr_params.shape[0] == 1 else p.intr_params[p.obs_intr])
+    X = _pt_expand(p.X, p)
+    w, t = pose6[:, :3], pose6[:, 3:]
+    Xc = so3.rotate(w, X) + t
+    z = Xc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-12,
+                   jnp.where(z < 0, -1e-12, 1e-12), z)
+    px = Xc[..., 0] / zs
+    py = Xc[..., 1] / zs
+    f = intr[:, 0]
+    r = jnp.stack([f * px + intr[:, 1] - p.obs_x[:, 0],
+                   f * py + intr[:, 2] - p.obs_x[:, 1]], axis=-1)
+    return r, w, X, zs, px, py, f
+
+
+def _fast_pinhole_residuals(p: BAProblem):
+    return _fast_pinhole_project(p)[0]
+
+
+def _fast_pinhole_r_J(p: BAProblem):
+    """Residuals + (O,2,6)/(O,2,8)/(O,2,3) Jacobian blocks, closed form."""
+    r, w, X, zs, px, py, f = _fast_pinhole_project(p)
+    invz = 1.0 / zs
+    z3 = jnp.zeros_like(invz)
+    # A = d r / d Xc, (O, 2, 3)
+    A0 = jnp.stack([f * invz, z3, -f * px * invz], axis=-1)
+    A1 = jnp.stack([z3, f * invz, -f * py * invz], axis=-1)
+    # d r / d X = A @ R  ->  rows rotate by R^T = rotate(-w, .)
+    JX0 = so3.rotate(-w, A0)
+    JX1 = so3.rotate(-w, A1)
+    Jx3 = jnp.stack([JX0, JX1], axis=-2)                  # (O, 2, 3)
+    # d r / d w = -(A R) [X]_x Jr(w); row form via cross products with the
+    # right-Jacobian coefficients b=(1-cos)/th^2, c=(th-sin)/th^3
+    th2 = jnp.sum(w * w, axis=-1)
+    th = jnp.sqrt(jnp.maximum(th2, 1e-16))
+    small = th2 < 1e-8
+    b = jnp.where(small, 0.5 - th2 / 24.0,
+                  (1.0 - jnp.cos(th)) / jnp.maximum(th2, 1e-16))
+    c = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+                  (th - jnp.sin(th)) / jnp.maximum(th2 * th, 1e-24))
+
+    def row_jw(JXk):
+        u = jnp.cross(JXk, X)            # row^T [X]_x  = (JXk x X)^T
+        uw = jnp.cross(u, w)
+        return -(u - b[:, None] * uw + c[:, None] * jnp.cross(uw, w))
+
+    Jp6 = jnp.concatenate(
+        [jnp.stack([row_jw(JX0), row_jw(JX1)], axis=-2),
+         jnp.stack([A0, A1], axis=-2)], axis=-1)          # (O, 2, 6)
+    O = r.shape[0]
+    zcol = jnp.zeros((O,), r.dtype)
+    onec = jnp.ones((O,), r.dtype)
+    Ji0 = jnp.stack([px, onec, zcol], axis=-1)
+    Ji1 = jnp.stack([py, zcol, onec], axis=-1)
+    Ji8 = jnp.concatenate(
+        [jnp.stack([Ji0, Ji1], axis=-2),
+         jnp.zeros((O, 2, p.intr_params.shape[1] - 3), r.dtype)], axis=-1)
+    return r, Jp6, Ji8, Jx3
 
 
 def _huber_sqrt_weight(r, a, use_huber):
@@ -167,9 +244,9 @@ def _huber_sqrt_weight(r, a, use_huber):
     return jnp.sqrt(w)
 
 
-def robust_cost(p: BAProblem, cfg: BAConfig, axis=None):
+def robust_cost(p: BAProblem, cfg: BAConfig, axis=None, cam_fast=False):
     """Total robustified cost 0.5 * sum rho(|r|^2) over weighted obs."""
-    r = residuals(p)
+    r = residuals(p, cam_fast)
     s = jnp.sum(r * r, axis=-1)
     if cfg.use_huber:
         a = cfg.huber_a
@@ -188,12 +265,15 @@ def robust_cost(p: BAProblem, cfg: BAConfig, axis=None):
     return c
 
 
-def jacobians(p: BAProblem, cfg: BAConfig):
+def jacobians(p: BAProblem, cfg: BAConfig, cam_fast=False):
     """Weighted residuals and Jacobian blocks with masks applied."""
-    g = _gather_params(p)
-    jac_fn = jax.vmap(jax.jacfwd(_residual_one, argnums=(0, 1, 2)))
-    Jp6, Ji8, Jx3 = jac_fn(g[0], g[1], g[2], g[3], g[4], p.obs_x)
-    r = jax.vmap(_residual_one)(g[0], g[1], g[2], g[3], g[4], p.obs_x)
+    if cam_fast:
+        r, Jp6, Ji8, Jx3 = _fast_pinhole_r_J(p)
+    else:
+        g = _gather_params(p)
+        jac_fn = jax.vmap(jax.jacfwd(_residual_one, argnums=(0, 1, 2)))
+        Jp6, Ji8, Jx3 = jac_fn(g[0], g[1], g[2], g[3], g[4], p.obs_x)
+        r = jax.vmap(_residual_one)(g[0], g[1], g[2], g[3], g[4], p.obs_x)
     w = _huber_sqrt_weight(r, cfg.huber_a, cfg.use_huber) * p.obs_w
     r = r * w[:, None]
     Jp6 = Jp6 * w[:, None, None] * p.mask_pose[p.obs_pose][:, None, :]
@@ -644,18 +724,20 @@ def _apply_step(p: BAProblem, d_pose, d_intr, d_X):
 
 
 def lm_step_impl(p: BAProblem, lam, cfg: BAConfig, axis=None,
-                 point_axis="same"):
+                 point_axis="same", cam_fast=False):
     """One LM iteration: solve, tentative step, accept/reject, adapt lam.
     With `axis`, runs observation-sharded: per-shard J products, psum
     reductions, replicated parameters.  With point_axis=None on top, the
-    point blocks (X, Hpp) stay shard-local (see parallel/dist_ba.py)."""
+    point blocks (X, Hpp) stay shard-local (see parallel/dist_ba.py).
+    cam_fast (STATIC) selects the closed-form pinhole residual/Jacobian
+    path — only valid when every intrinsic row is a plain PINHOLE."""
     lam = jnp.asarray(lam, p.X.dtype)  # callers may hold f64 lam under x64
-    cost0 = robust_cost(p, cfg, axis)
-    r, Jp6, Ji8, Jx3 = jacobians(p, cfg)
+    cost0 = robust_cost(p, cfg, axis, cam_fast)
+    r, Jp6, Ji8, Jx3 = jacobians(p, cfg, cam_fast)
     d_pose, d_intr, d_X, gain = schur_cg_solve(p, r, Jp6, Ji8, Jx3, lam, cfg,
                                                axis, point_axis)
     p_new = _apply_step(p, d_pose, d_intr, d_X)
-    cost1 = robust_cost(p_new, cfg, axis)
+    cost1 = robust_cost(p_new, cfg, axis, cam_fast)
     accept = cost1 < cost0
     p_out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(jnp.reshape(accept, (1,) * a.ndim), b, a),
@@ -700,23 +782,36 @@ def _cfg_merge(dyn: _DynCfg, cg_iterations, use_huber) -> BAConfig:
                     function_tolerance=dyn.function_tolerance)
 
 
-@partial(jax.jit, static_argnames=("cg_iterations", "use_huber"))
-def _lm_step_jit(p: BAProblem, lam, dyn: _DynCfg, cg_iterations, use_huber):
-    return lm_step_impl(p, lam, _cfg_merge(dyn, cg_iterations, use_huber))
+@partial(jax.jit, static_argnames=("cg_iterations", "use_huber", "cam_fast"))
+def _lm_step_jit(p: BAProblem, lam, dyn: _DynCfg, cg_iterations, use_huber,
+                 cam_fast):
+    return lm_step_impl(p, lam, _cfg_merge(dyn, cg_iterations, use_huber),
+                        cam_fast=cam_fast)
+
+
+def _cam_fast_ok(p: BAProblem):
+    """True when every intrinsic row is a plain PINHOLE (host-side check;
+    False under tracing so in-jit callers keep the generic path)."""
+    try:
+        kinds = np.asarray(p.intr_kind)
+    except Exception:
+        return False
+    return kinds.size > 0 and bool(np.all(kinds == cm.PINHOLE))
 
 
 def lm_step(p: BAProblem, lam, cfg: BAConfig):
     dyn, cg_it, huber = _cfg_split(cfg)
-    return _lm_step_jit(p, lam, dyn, cg_it, huber)
+    return _lm_step_jit(p, lam, dyn, cg_it, huber, _cam_fast_ok(p))
 
 
-def adjust_impl(p: BAProblem, cfg: BAConfig):
+def adjust_impl(p: BAProblem, cfg: BAConfig, cam_fast=False):
     """Full LM loop ON DEVICE: lax.while_loop over lm_step with a
     cost-based early stop (ceres function_tolerance semantics) — no
     per-iteration host sync, converged solves exit early instead of
     burning all max_iterations (judge round-2 weak #4)."""
     dt = p.X.dtype
-    init = (p, jnp.asarray(cfg.lam_init, dt), robust_cost(p, cfg),
+    init = (p, jnp.asarray(cfg.lam_init, dt),
+            robust_cost(p, cfg, cam_fast=cam_fast),
             jnp.int32(0), jnp.int32(0), jnp.asarray(False))
 
     def cond(c):
@@ -725,7 +820,8 @@ def adjust_impl(p: BAProblem, cfg: BAConfig):
 
     def body(c):
         p_, lam, cost, it, n_acc, _ = c
-        p2, lam2, cost2, accept = lm_step_impl(p_, lam, cfg)
+        p2, lam2, cost2, accept = lm_step_impl(p_, lam, cfg,
+                                               cam_fast=cam_fast)
         converged = accept & (
             cost - cost2 <= cfg.function_tolerance * jnp.maximum(cost, 1e-30))
         stop = converged | (lam2 > 1e10)
@@ -736,9 +832,11 @@ def adjust_impl(p: BAProblem, cfg: BAConfig):
     return p, cost, n_acc
 
 
-@partial(jax.jit, static_argnames=("cg_iterations", "use_huber"))
-def _adjust_jit(p: BAProblem, dyn: _DynCfg, cg_iterations, use_huber):
-    return adjust_impl(p, _cfg_merge(dyn, cg_iterations, use_huber))
+@partial(jax.jit, static_argnames=("cg_iterations", "use_huber", "cam_fast"))
+def _adjust_jit(p: BAProblem, dyn: _DynCfg, cg_iterations, use_huber,
+                cam_fast):
+    return adjust_impl(p, _cfg_merge(dyn, cg_iterations, use_huber),
+                       cam_fast=cam_fast)
 
 
 def adjust(p: BAProblem, cfg: BAConfig = BAConfig(), verbose=False):
@@ -749,7 +847,7 @@ def adjust(p: BAProblem, cfg: BAConfig = BAConfig(), verbose=False):
     """
     if not verbose:
         dyn, cg_it, huber = _cfg_split(cfg)
-        p, cost, n_acc = _adjust_jit(p, dyn, cg_it, huber)
+        p, cost, n_acc = _adjust_jit(p, dyn, cg_it, huber, _cam_fast_ok(p))
         return p, float(cost), int(n_acc)
     lam = jnp.asarray(cfg.lam_init, p.X.dtype)
     cost = float(robust_cost(p, cfg))

@@ -131,3 +131,27 @@ def test_ba_huber_rejects_outliers():
     r2, _ = __import__("openmvg_tpu.sfm.scene", fromlist=["reprojection_residuals"]).reprojection_residuals(sc2)
     errs2 = np.linalg.norm(r2, axis=1)
     assert np.median(errs[good]) < np.median(errs2[good])
+
+
+def test_fast_pinhole_jacobians_match_generic():
+    """The closed-form PINHOLE residual/Jacobian path (ba.jacobians
+    cam_fast=True) must reproduce the vmapped-jacfwd path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openmvg_tpu.sfm import ba
+    from openmvg_tpu.utils.synthetic import big_ba_problem
+
+    prob, O = big_ba_problem(n_poses=12, n_points=500, obs_per_point=6,
+                             seed=7, noise_px=1.0, noise_X=0.05)
+    cfg = ba.BAConfig()
+    r0, Jp0, Ji0, Jx0 = ba.jacobians(prob, cfg, cam_fast=False)
+    r1, Jp1, Ji1, Jx1 = ba.jacobians(prob, cfg, cam_fast=True)
+    assert np.allclose(r0, r1, atol=1e-3)
+    assert np.allclose(Jx0, Jx1, rtol=1e-4, atol=1e-4)
+    assert np.allclose(Ji0, Ji1, rtol=1e-4, atol=1e-4)
+    assert np.allclose(Jp0, Jp1, rtol=1e-4, atol=2e-3), \
+        np.abs(np.asarray(Jp0) - np.asarray(Jp1)).max()
+    c0 = float(ba.robust_cost(prob, cfg, cam_fast=False))
+    c1 = float(ba.robust_cost(prob, cfg, cam_fast=True))
+    assert abs(c0 - c1) <= 1e-4 * max(abs(c0), 1.0)
