@@ -1260,11 +1260,15 @@ def cmd_retrieval_quality(args):
 
 
 def cmd_scaling_bench(args):
-    """Scaling-efficiency harness over mesh prefixes (BASELINE #3)."""
-    from openmvg_tpu.parallel.scaling_bench import measure_matching_scaling
+    """Scaling harness over mesh prefixes (BASELINE #3).  On a virtual
+    CPU mesh only the weak-scaling collective overhead is meaningful
+    (devices share the host's cores); see
+    parallel/scaling_bench.measure_weak_scaling."""
+    from openmvg_tpu.parallel.scaling_bench import measure_weak_scaling
 
     sizes = tuple(int(s) for s in args.mesh_sizes.split(","))
-    res = measure_matching_scaling(n_views=args.n_views, mesh_sizes=sizes)
+    res = measure_weak_scaling(mesh_sizes=sizes,
+                               pairs_per_device=args.pairs_per_device)
     print(json.dumps(res, indent=1))
     return 0
 
@@ -1550,6 +1554,7 @@ def main(argv=None):
     p = sub.add_parser("scaling-bench")
     p.add_argument("-n", "--n_views", type=int, default=8)
     p.add_argument("-s", "--mesh_sizes", default="1,2,4,8")
+    p.add_argument("-p", "--pairs_per_device", type=int, default=256)
     p.set_defaults(fn=cmd_scaling_bench)
 
     args = ap.parse_args(argv)

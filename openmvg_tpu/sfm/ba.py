@@ -538,7 +538,15 @@ def _solve_sym3(A, b):
     a v5e — and the CG loop called it every iteration (round-3 profile:
     130 ms/iteration, 2.7 s per 20-iteration LM step at 1M obs).  The
     adjugate solve is pure elementwise vector math on the 6 unique
-    entries; blocks are LM-damped SPD so det > 0."""
+    entries; blocks are LM-damped SPD so det > 0.
+
+    Conditioning note: relative error grows as eps * cond(A) (no
+    pivoting), vs eps * cond for LU too but with a smaller constant.
+    The LM damping lam*diag plus the identity block added for
+    masked/padded points bounds cond(Hpp) in practice; near-degenerate
+    (collinear-ray) points surface as damped, tiny d_X — acceptable for
+    an inner CG preconditioner.  x64 callers inherit f64 elementwise
+    arithmetic here automatically (dtype follows the inputs)."""
     a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
     c00 = a11 * a22 - a12 * a12

@@ -81,16 +81,19 @@ def bearings_of(scene, view, idx=None):
 
 
 def render_blob_dataset(out_dir, n_views=6, n_points=400, size=320,
-                        focal=400.0, seed=0):
+                        focal=400.0, seed=0, arc_step=0.12, flatten=0.4):
     """Render a synthetic image dataset + Strecha-format ground truth.
 
-    Random Gaussian intensity blobs seen from a small camera arc —
-    texture-rich enough for SIFT, with exact GT for the evalQuality
-    protocol (main_evalQuality.cpp).  Writes out_dir/images/img_*.png and
+    Random Gaussian intensity blobs seen from a camera arc (arc_step
+    radians between consecutive views — n_views * arc_step ~ 2pi gives a
+    full ring for the GLOBAL-engine benchmark) — texture-rich enough for
+    SIFT, with exact GT for the evalQuality protocol
+    (main_evalQuality.cpp).  Writes out_dir/images/img_*.png and
     out_dir/gt/img_*.png.camera; returns (imgdir, gtdir, Rs, Cs, K).
 
-    Shared by the CLI pipeline tests and the end-to-end benchmark
-    (bench.py e2e section).
+    Shared by the CLI pipeline tests and the end-to-end benchmarks
+    (bench.py e2e sections).  Blobs splat into local windows (the former
+    full-image mask per point was ~2 s/view at 1024^2).
     """
     import os
 
@@ -98,8 +101,18 @@ def render_blob_dataset(out_dir, n_views=6, n_points=400, size=320,
     from openmvg_tpu.io.image import write_image
 
     rng = np.random.default_rng(seed)
-    X = rng.uniform(-0.9, 0.9, size=(n_points, 3))
-    X[:, 2] *= 0.4
+    if flatten == "ball":
+        # view-isotropic ball shell for full-ring datasets: a slab seen
+        # edge-on from ring angles ~90 deg collapses to a blob line and
+        # breaks matching there (measured round 4, views 72-79 of 100)
+        d = rng.normal(size=(n_points, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        X = d * rng.uniform(0.35, 0.9, (n_points, 1))
+    else:
+        # flatten < 1 squeezes the cloud toward the z=0 plane
+        # (frontal-arc datasets)
+        X = rng.uniform(-0.9, 0.9, size=(n_points, 3))
+        X[:, 2] *= flatten
     intens = rng.uniform(0.3, 1.0, n_points)
     radii = rng.uniform(1.2, 2.8, n_points)
 
@@ -109,8 +122,10 @@ def render_blob_dataset(out_dir, n_views=6, n_points=400, size=320,
     os.makedirs(imgdir, exist_ok=True)
     os.makedirs(gtdir, exist_ok=True)
     Rs, Cs = [], []
+    W = 17  # blob window half-extent (covers 4*r at r<=4)
+    win = np.arange(-W, W + 1, dtype=np.float32)
     for v in range(n_views):
-        theta = (v - n_views / 2) * 0.12
+        theta = (v - n_views / 2) * arc_step
         C = np.array([3.0 * np.sin(theta), 0.3 * np.sin(2 * theta),
                       -3.0 * np.cos(theta)])
         R = _look_at(C, [0.0, 0.0, 0.0])
@@ -118,20 +133,95 @@ def render_blob_dataset(out_dir, n_views=6, n_points=400, size=320,
         Cs.append(C)
         Xc = (X - C) @ R.T
         z = Xc[:, 2]
-        uv = (Xc[:, :2] / z[:, None]) * focal + size / 2
-        img = np.zeros((size, size), np.float32)
-        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
-        for p in range(n_points):
-            if z[p] <= 0.5:
-                continue
+        uv = (Xc[:, :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)[:, None]) \
+            * focal + size / 2
+        PAD = W + 6
+        img = np.zeros((size + 2 * PAD, size + 2 * PAD), np.float32)
+        ok = (z > 0.5) & (uv[:, 0] > -5) & (uv[:, 0] < size + 5) \
+            & (uv[:, 1] > -5) & (uv[:, 1] < size + 5)
+        r_all = np.clip(radii * focal / (np.maximum(z, 0.5) * 130.0) * 40.0,
+                        1.0, 4.0)
+        for p in np.nonzero(ok)[0]:
             u, v2 = uv[p]
-            if not (-5 < u < size + 5 and -5 < v2 < size + 5):
-                continue
-            r = radii[p] * focal / (z[p] * 130.0) * 40.0
-            r = np.clip(r, 1.0, 4.0)
-            m = (np.abs(yy - v2) < 4 * r) & (np.abs(xx - u) < 4 * r)
-            img[m] += intens[p] * np.exp(
-                -((yy[m] - v2) ** 2 + (xx[m] - u) ** 2) / (2 * r * r))
+            iu, iv = int(round(u)), int(round(v2))
+            gy = np.exp(-((win + iv - v2) ** 2) / (2 * r_all[p] ** 2))
+            gx = np.exp(-((win + iu - u) ** 2) / (2 * r_all[p] ** 2))
+            patch = intens[p] * np.outer(gy, gx)
+            img[iv + PAD - W: iv + PAD + W + 1,
+                iu + PAD - W: iu + PAD + W + 1] += patch
+        img = np.clip(img[PAD: PAD + size, PAD: PAD + size], 0, 1)
+        name = f"img_{v:02d}.png"
+        write_image(os.path.join(imgdir, name), img)
+        write_strecha_camera(os.path.join(gtdir, name + ".camera"),
+                             K, R, C, (size, size))
+    return imgdir, gtdir, np.stack(Rs), np.stack(Cs), K
+
+
+def render_textured_sphere_dataset(out_dir, n_views=100, size=1024,
+                                   focal=None, seed=0, radius=1.4,
+                                   cam_radius=3.0, n_waves=48,
+                                   arc_step=None):
+    """Ray-cast a procedurally textured sphere from a camera ring —
+    the realistic-scale SfM benchmark dataset.
+
+    Gaussian-blob imagery is poor SIFT texture (isolated blobs are
+    self-similar, the ratio test drowns in ambiguity — measured round 4:
+    <100 usable matches/pair at 1024^2); instead each pixel's ray is
+    intersected with a sphere and shaded by a sum of random 3D
+    sinusoids evaluated AT THE 3D HIT POINT, giving dense, unique,
+    exactly multi-view-consistent texture at all scales.  Writes
+    Strecha-format GT like render_blob_dataset; returns
+    (imgdir, gtdir, Rs, Cs, K).
+    """
+    import os
+
+    from openmvg_tpu.io.gt_loaders import write_strecha_camera
+    from openmvg_tpu.io.image import write_image
+
+    rng = np.random.default_rng(seed)
+    focal = focal or size * 1.2
+    # log-spaced spatial frequencies; amplitudes ~ 1/freq (natural-image
+    # spectrum) so SIFT finds structure at every octave
+    freqs = np.exp(rng.uniform(np.log(3.0), np.log(120.0), n_waves))
+    dirs = rng.normal(size=(n_waves, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    kvecs = dirs * freqs[:, None]
+    phases = rng.uniform(0, 2 * np.pi, n_waves)
+    amps = 1.0 / np.sqrt(freqs)
+    amps /= np.sum(amps)
+
+    K = np.array([[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]])
+    imgdir = os.path.join(out_dir, "images")
+    gtdir = os.path.join(out_dir, "gt")
+    os.makedirs(imgdir, exist_ok=True)
+    os.makedirs(gtdir, exist_ok=True)
+
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) + 0.5
+    ray_cam = np.stack([(xx - size / 2) / focal, (yy - size / 2) / focal,
+                        np.ones_like(xx)], axis=-1)  # (H, W, 3)
+
+    step = arc_step if arc_step is not None else 2 * np.pi / n_views
+    Rs, Cs = [], []
+    for v in range(n_views):
+        theta = (v - n_views / 2) * step
+        C = np.array([cam_radius * np.sin(theta),
+                      0.3 * np.sin(2 * theta),
+                      -cam_radius * np.cos(theta)])
+        R = _look_at(C, [0.0, 0.0, 0.0])
+        Rs.append(R)
+        Cs.append(C)
+        d = ray_cam @ R  # world ray dirs (rows of R = cam axes in world)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        # |C + t d|^2 = radius^2
+        b = d @ C
+        disc = b * b - (C @ C - radius * radius)
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        P = C + t[..., None] * d  # (H, W, 3)
+        tex = np.zeros(P.shape[:2])
+        for a, k, ph in zip(amps, kvecs, phases):
+            tex += a * np.sin(P @ k + ph)
+        img = np.where(hit, 0.5 + 0.5 * tex, 0.0).astype(np.float32)
         img = np.clip(img, 0, 1)
         name = f"img_{v:02d}.png"
         write_image(os.path.join(imgdir, name), img)
