@@ -99,7 +99,10 @@ class BAConfig(NamedTuple):
     huber_a: float = 16.0      # ceres HuberLoss(Square(4.0)) parity
     max_iterations: int = 50
     cg_iterations: int = 60
-    cg_tol: float = 1e-6
+    # relative CG residual tolerance (inexact-Newton forcing term; ceres
+    # ITERATIVE_SCHUR uses eta=0.1 by default, solver.h) — the LM outer
+    # loop absorbs the inexactness
+    cg_tol: float = 1e-2
     lam_init: float = 1e-4
     lam_up: float = 4.0
     lam_down: float = 0.5
@@ -684,10 +687,17 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
     z0 = M_inv(r0)
     p0 = z0
     rz0 = dot(r0, z0)
-    bnorm = jnp.sqrt(dot(b, b))
+    # early exit on ||r|| <= cg_tol * ||b|| (ceres' inexact-Newton inner
+    # tolerance): warm scenes converge in far fewer than cg_iterations
+    # steps, and the while_loop skips the rest on device
+    tol2 = jnp.asarray(cfg.cg_tol, bp.dtype) ** 2 * dot(b, b)
 
-    def cg_body(carry, _):
-        x, rr, pp_, rz = carry
+    def cg_cond(carry):
+        _, rr, _, _, it = carry
+        return (it < cfg.cg_iterations) & (dot(rr, rr) > tol2)
+
+    def cg_body(carry):
+        x, rr, pp_, rz, it = carry
         Ap = S_matvec(pp_)
         denom = dot(pp_, Ap)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
@@ -697,10 +707,10 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
         rz_new = dot(rr, zz)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         pp_ = (zz[0] + beta * pp_[0], zz[1] + beta * pp_[1])
-        return (x, rr, pp_, rz_new), jnp.sqrt(dot(rr, rr))
+        return (x, rr, pp_, rz_new, it + 1)
 
-    (xf, _, _, _), _ = jax.lax.scan(
-        cg_body, (x0, r0, p0, rz0), None, length=cfg.cg_iterations)
+    xf, _, _, _, _ = jax.lax.while_loop(
+        cg_cond, cg_body, (x0, r0, p0, rz0, jnp.int32(0)))
     d_pose, d_intr = xf
     d_pose = d_pose * p.mask_pose
     d_intr = d_intr * p.mask_intr
