@@ -109,6 +109,13 @@ class _TrackIndex:
         uniq, starts = np.unique(vs, return_index=True)
         splits = np.split(order, starts[1:])
         self._by_view = {int(v): sel for v, sel in zip(uniq, splits)}
+        # triangulation retry gate: per track, the posed-observation
+        # count at the last FAILED attempt — a track is only retried
+        # once it gains observations (without this, narrow-baseline
+        # frontier tracks that fail the 2-deg angle test are re-padded
+        # and re-solved EVERY round: 160s of the 563s 100-view SfM
+        # stage, measured round 4)
+        self.last_tri_nobs = np.zeros(tracks.n_tracks, np.int64)
         # pixel position of every track observation: one gather through a
         # concatenated feature table with per-view offsets
         if len(features):
@@ -252,7 +259,10 @@ def relative_pose_batch(scene, index, pair_list, key, n_samples=1024,
     instances (pairs x samples) crashes the TPU worker process (measured
     round 3: 20x922 instances reproducibly kill the worker, 4x922 /
     20x128 / 1x4096 run fine), so stay at <= 4096 instances per dispatch
-    — same compiled shapes, more dispatches.
+    — same compiled shapes, more dispatches.  The per-pair sample
+    dimension cannot be subdivided, so the bound only holds for
+    n_samples <= 4096; larger budgets go through the adaptive
+    single-pair path (_try_pair adaptive=True) instead.
 
     Returns {(va, vb): dict(R, t, inliers, track_ids, n_inliers,
     med_angle, nfa, threshold_px)} in pair_list order (found pairs only);
@@ -837,7 +847,9 @@ def _grow_structure(scene, index, posed, landmark_of_track, cfg):
     posed_mask[list(posed)] = True
     rows_posed = posed_mask[tr.view_id]
     cand = np.bincount(tr.track_id[rows_posed], minlength=index.n_tracks)
-    new_tracks = np.nonzero((cand >= 2) & (landmark_of_track < 0))[0]
+    new_tracks = np.nonzero((cand >= 2) & (landmark_of_track < 0)
+                            & (cand > index.last_tri_nobs))[0]
+    index.last_tri_nobs[new_tracks] = cand[new_tracks]
     _reconstruct_tracks(scene, index, new_tracks, landmark_of_track, cfg)
 
     # add missing observations of posed views to existing landmarks.
