@@ -191,14 +191,28 @@ def bench_ba():
 
     prob, O = big_ba_problem(n_poses=128, n_points=100_000,
                              obs_per_point=10, seed=3)
-    cfg = ba.BAConfig(cg_iterations=20)
+    # cg_tol=0 pins the full 20 CG iterations — the C++ baseline below
+    # runs a fixed 20, so the vs-CPU ratio stays apples-to-apples; the
+    # production config (relative tolerance 1e-2, CG exits early) is
+    # reported separately as ba_lm_obs_per_s_production
+    cfg = ba.BAConfig(cg_iterations=20, cg_tol=0.0)
     lam = jnp.asarray(1e-4, jnp.float32)
 
     def step(prob, lam):
-        p2, lam2, cost, _ = ba.lm_step_impl(prob, lam, cfg)
+        p2, lam2, cost, _ = ba.lm_step_impl(prob, lam, cfg,
+                                            cam_fast=True)
         return p2, lam2, cost
 
     dt = scan_time(step, prob, lam, n_scan=4, trials=3)
+
+    cfg_prod = ba.BAConfig(cg_iterations=20)
+
+    def step_prod(prob, lam):
+        p2, lam2, cost, _ = ba.lm_step_impl(prob, lam, cfg_prod,
+                                            cam_fast=True)
+        return p2, lam2, cost
+
+    dt_prod = scan_time(step_prod, prob, lam, n_scan=4, trials=3)
 
     # CPU baseline: the C++ implicit-Schur LM step (native.cpp
     # omt_bench_ba_lm_step — same algorithm family as ceres
@@ -226,7 +240,7 @@ def bench_ba():
             native.bench_ba_lm_step(v, p, obs_x64, rotvec64, t64, X64,
                                     1000.0, 500.0, 500.0, cg_iters=20)
         cpu_obs_per_s = O * n_rep / (time.perf_counter() - t0)
-    return O / dt, cpu_obs_per_s
+    return O / dt, cpu_obs_per_s, O / dt_prod
 
 
 def bench_ba_big():
@@ -240,7 +254,7 @@ def bench_ba_big():
 
     prob, O = big_ba_problem(n_poses=512, n_points=300_000,
                              obs_per_point=14, seed=3)
-    cfg = ba.BAConfig(cg_iterations=20)
+    cfg = ba.BAConfig(cg_iterations=20, cg_tol=0.0)  # fixed 20, like 1M
     lam = jnp.asarray(1e-4, jnp.float32)
 
     @jax.jit
@@ -365,6 +379,11 @@ def bench_e2e():
         shutil.rmtree(td, ignore_errors=True)
 
 
+# bump when the synthetic dataset generation changes (texture spectrum,
+# geometry, seeds): the offline CPU reference must match to be comparable
+_BIG_DATASET_TAG = "sphere-v2-100x1024-w96"
+
+
 def bench_e2e_big(n_views=100, size=1024, overlap=6):
     """Realistic-scale end-to-end benchmark (judge round-3 missing #2):
     n_views >= 100 at size^2 px, SIFT HIGH, contiguous pair generation,
@@ -442,6 +461,22 @@ def bench_e2e_big(n_views=100, size=1024, overlap=6):
             res[f"big_{k}_ate"] = round(float(stats["position_rmse"]), 4)
         res["big_total_s"] = round(time.perf_counter() - t_all, 1)
         res["big_stage_s"] = stages
+        # CPU reference for the same pipeline/scale, measured once per
+        # round offline (a full 100-view CPU run needs tens of minutes
+        # on this 2-vCPU host — too slow for every driver bench
+        # invocation); the ratio is only reported when the reference was
+        # measured on the SAME dataset generation
+        res["big_dataset"] = _BIG_DATASET_TAG
+        ref = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts", "big_e2e_cpu_reference.json")
+        if os.path.exists(ref):
+            with open(ref) as f:
+                cpu = json.load(f)
+            if cpu.get("big_dataset") == _BIG_DATASET_TAG:
+                res["big_cpu_total_s"] = cpu.get("big_total_s")
+                res["big_vs_cpu"] = (round(cpu["big_total_s"]
+                                           / res["big_total_s"], 2)
+                                     if res["big_total_s"] else None)
         return res
     finally:
         shutil.rmtree(td, ignore_errors=True)
@@ -457,7 +492,7 @@ def main():
     kernel_pps, kernel_mfu = bench_kernel(descs_np)
     sift_ips = bench_sift()
     sift_cpu_ips = bench_sift_cpu()
-    ba_obs, ba_cpu_obs = bench_ba()
+    ba_obs, ba_cpu_obs, ba_prod_obs = bench_ba()
     ba_big_obs = bench_ba_big()
 
     extra = {
@@ -470,6 +505,7 @@ def main():
         "sift_vs_cpu": (round(sift_ips / sift_cpu_ips, 2)
                         if sift_cpu_ips else None),
         "ba_lm_obs_per_s": round(ba_obs, 1),
+        "ba_lm_obs_per_s_production": round(ba_prod_obs, 1),
         "ba_lm_obs_per_s_4m": round(ba_big_obs, 1) if ba_big_obs else None,
         "cpu_ba_lm_obs_per_s": round(ba_cpu_obs, 1) if ba_cpu_obs else None,
         "ba_vs_cpu": round(ba_obs / ba_cpu_obs, 2) if ba_cpu_obs else None,

@@ -389,19 +389,70 @@ def relative_pose_batch(scene, index, pair_list, key, n_samples=1024,
 def choose_initial_pair(scene, index, matches, cfg, key):
     """AutomaticInitialPairChoice: try the most-connected candidate pairs
     (sequential_SfM.cpp:317-450's OpenMP pair loop -> one batched device
-    call over all candidates)."""
+    call over all candidates).  Returns the scored candidates SORTED
+    best-first — MakeInitialPair3D can fail on the top pair (small-
+    parallax E ambiguity passes the epipolar NFA with a wrong
+    translation; observed round 4 on a 3.6-deg-baseline ring pair), and
+    the reference then falls through to the next candidate."""
     cand = sorted(matches.keys(),
                   key=lambda p: -len(matches[p]))[: cfg.max_candidate_pairs]
     infos = relative_pose_batch(
         scene, index, cand, key, n_samples=cfg.ransac_samples,
         min_corr=max(cfg.min_init_inliers // 2, 15))
-    best, best_score = None, -1.0
-    for r in infos.values():
-        in_range = cfg.min_angle_init_deg <= r["med_angle"] <= cfg.max_angle_init_deg
-        score = r["n_inliers"] * (1.0 if in_range else 0.05)
-        if score > best_score:
-            best, best_score = r, score
-    return best
+
+    def score(r):
+        in_range = cfg.min_angle_init_deg <= r["med_angle"] \
+            <= cfg.max_angle_init_deg
+        return r["n_inliers"] * (1.0 if in_range else 0.05)
+
+    return sorted(infos.values(), key=score, reverse=True)
+
+
+def _init_pair_triangulation_count(scene, index, info, cfg):
+    """How many of the pair's inlier correspondences triangulate within
+    the residual/angle/cheirality gates under `info`'s (R, t) — the
+    MakeInitialPair3D acceptance check (sequential_SfM.cpp:453-702
+    triangulates the pair and fails out if the structure is empty),
+    computed host-side with tiny per-point 4x4 DLT SVDs."""
+    va, vb = info["view_a"], info["view_b"]
+    xa, xb, _ = _shared_track_corr(index, va, vb)
+    xa, xb = xa[info["inliers"]], xb[info["inliers"]]
+    if len(xa) == 0:
+        return 0
+    R, t = info["R"], info["t"]
+    params = np.asarray(scene.cameras.params)
+    Ka = hostmath.K_matrix_np(params[scene.view_intrinsic[va]])
+    Kb = hostmath.K_matrix_np(params[scene.view_intrinsic[vb]])
+    P1 = Ka @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = Kb @ np.hstack([R, t[:, None]])
+    A = np.stack([
+        xa[:, 0, None] * P1[2] - P1[0],
+        xa[:, 1, None] * P1[2] - P1[1],
+        xb[:, 0, None] * P2[2] - P2[0],
+        xb[:, 1, None] * P2[2] - P2[1],
+    ], axis=1)                                    # (N, 4, 4)
+    _, _, Vt = np.linalg.svd(A)
+    X = Vt[:, -1, :]
+    w = np.where(np.abs(X[:, 3:]) < 1e-30, 1e-30, X[:, 3:])
+    X = X[:, :3] / w
+    z1 = X[:, 2]
+    Xc2 = X @ R.T + t
+    z2 = Xc2[:, 2]
+    p1 = (X / np.where(np.abs(z1[:, None]) < 1e-30, 1e-30, z1[:, None])) \
+        @ Ka.T
+    p2 = (Xc2 / np.where(np.abs(z2[:, None]) < 1e-30, 1e-30, z2[:, None])) \
+        @ Kb.T
+    r1 = np.linalg.norm(p1[:, :2] - xa, axis=1)
+    r2 = np.linalg.norm(p2[:, :2] - xb, axis=1)
+    rays1 = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    C2 = -R.T @ t
+    d2 = X - C2
+    rays2 = d2 / np.maximum(np.linalg.norm(d2, axis=1, keepdims=True), 1e-30)
+    cosang = np.clip(np.sum(rays1 * rays2, 1), -1, 1)
+    ang_ok = np.degrees(np.arccos(cosang)) >= cfg.triangulation_angle_deg
+    good = (z1 > 0) & (z2 > 0) & (r1 <= cfg.max_residual_px) \
+        & (r2 <= cfg.max_residual_px) & ang_ok
+    return int(good.sum())
 
 
 def _append_observations(scene, track_rows, index, landmark_of_track):
@@ -464,37 +515,54 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         min_corr = max(cfg.min_init_inliers // 2, 15)
         if cfg.initial_pair is not None:
             pair = tuple(cfg.initial_pair)
-            init = relative_pose_batch(
+            cands = relative_pose_batch(
                 scene, index, [pair], key, n_samples=cfg.ransac_samples,
-                min_corr=min_corr).get(pair)
-            if init is None:
+                min_corr=min_corr)
+            cands = [cands[pair]] if pair in cands else []
+            if not cands:
                 raise RuntimeError("configured initial pair failed")
         elif cfg.initializer.upper() == "MAX_PAIR":
-            pair = max(matches, key=lambda p: len(matches[p]))
-            init = relative_pose_batch(
-                scene, index, [tuple(pair)], key,
-                n_samples=cfg.ransac_samples,
-                min_corr=min_corr).get(tuple(pair))
-            if init is None:
+            pair = tuple(max(matches, key=lambda p: len(matches[p])))
+            cands = relative_pose_batch(
+                scene, index, [pair], key, n_samples=cfg.ransac_samples,
+                min_corr=min_corr)
+            cands = [cands[pair]] if pair in cands else []
+            if not cands:
                 raise RuntimeError("MAX_PAIR initialization failed")
         else:  # AUTO_PAIR / STELLAR-style scored search
-            init = choose_initial_pair(scene, index, matches, cfg, key)
-            if init is None:
+            cands = choose_initial_pair(scene, index, matches, cfg, key)
+            if not cands:
                 raise RuntimeError("no valid initial pair found")
+
+        # MakeInitialPair3D: refine the pose, then ACCEPT only if the
+        # pair actually triangulates (sequential_SfM.cpp:453-702 fails
+        # out on empty structure and the caller falls through to the
+        # next candidate); a wrong-translation model can carry the best
+        # epipolar NFA on small-parallax pairs, so pick the model by
+        # triangulated-point count, not NFA
+        init, n_tri_best = None, -1
+        for ci, cand in enumerate(cands[:5]):
+            va, vb = cand["view_a"], cand["view_b"]
+            options = [cand]
+            if cfg.init_pair_samples > cfg.ransac_samples:
+                refined = _try_pair(
+                    scene, index, cfg,
+                    jax.random.fold_in(key, 2**31 - 1 - ci), va, vb,
+                    n_samples=cfg.init_pair_samples, adaptive=True)
+                if refined is not None:
+                    options.append(refined)
+            for opt in options:
+                n_tri = _init_pair_triangulation_count(scene, index, opt,
+                                                       cfg)
+                if n_tri > n_tri_best:
+                    init, n_tri_best = opt, n_tri
+            if n_tri_best >= max(30, cfg.min_init_inliers // 2):
+                break
+        if init is None or n_tri_best < 16:
+            raise RuntimeError("no triangulable initial pair found")
         va, vb = init["view_a"], init["view_b"]
-        if cfg.init_pair_samples > cfg.ransac_samples:
-            # MakeInitialPair3D's 4096-iteration AC-RANSAC
-            # (sequential_SfM.cpp:532) through the ADAPTIVE-budget variant
-            # (judge round-3 missing #5): same total budget in 512-sample
-            # rounds, early exit once the NFA is meaningful
-            refined = _try_pair(scene, index, cfg,
-                                jax.random.fold_in(key, 2**31 - 1), va, vb,
-                                n_samples=cfg.init_pair_samples,
-                                adaptive=True)
-            if refined is not None and refined["nfa"] <= init["nfa"]:
-                init = refined
         _log(cfg, f"initial pair ({va},{vb}) inliers={init['n_inliers']} "
-                  f"angle={init['med_angle']:.1f}")
+                  f"angle={init['med_angle']:.1f} tri={n_tri_best}")
 
         # poses: a = identity; b = relative
         pa, pb = scene.view_pose[va], scene.view_pose[vb]

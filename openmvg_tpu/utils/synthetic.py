@@ -159,8 +159,8 @@ def render_blob_dataset(out_dir, n_views=6, n_points=400, size=320,
 
 def render_textured_sphere_dataset(out_dir, n_views=100, size=1024,
                                    focal=None, seed=0, radius=1.4,
-                                   cam_radius=3.0, n_waves=48,
-                                   arc_step=None):
+                                   cam_radius=3.0, n_waves=96,
+                                   freq_hi=400.0, arc_step=None):
     """Ray-cast a procedurally textured sphere from a camera ring —
     the realistic-scale SfM benchmark dataset.
 
@@ -182,13 +182,17 @@ def render_textured_sphere_dataset(out_dir, n_views=100, size=1024,
     focal = focal or size * 1.2
     # log-spaced spatial frequencies; amplitudes ~ 1/freq (natural-image
     # spectrum) so SIFT finds structure at every octave
-    freqs = np.exp(rng.uniform(np.log(3.0), np.log(120.0), n_waves))
+    freqs = np.exp(rng.uniform(np.log(3.0), np.log(freq_hi), n_waves))
     dirs = rng.normal(size=(n_waves, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     kvecs = dirs * freqs[:, None]
     phases = rng.uniform(0, 2 * np.pi, n_waves)
-    amps = 1.0 / np.sqrt(freqs)
-    amps /= np.sum(amps)
+    # shallow spectral falloff + unit-RMS normalization: keeps enough
+    # high-frequency contrast for SIFT to find thousands of extrema per
+    # 1024^2 view (natural-image feature density), not hundreds
+    amps = freqs ** -0.25
+    amps /= np.sqrt(np.sum(amps * amps) / 2.0)  # sum of sines -> RMS 1
+    amps *= 0.42  # 0.5 +- ~3 sigma stays inside [0, 1] before clipping
 
     K = np.array([[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]])
     imgdir = os.path.join(out_dir, "images")
@@ -221,7 +225,7 @@ def render_textured_sphere_dataset(out_dir, n_views=100, size=1024,
         tex = np.zeros(P.shape[:2])
         for a, k, ph in zip(amps, kvecs, phases):
             tex += a * np.sin(P @ k + ph)
-        img = np.where(hit, 0.5 + 0.5 * tex, 0.0).astype(np.float32)
+        img = np.where(hit, 0.5 + tex, 0.0).astype(np.float32)
         img = np.clip(img, 0, 1)
         name = f"img_{v:02d}.png"
         write_image(os.path.join(imgdir, name), img)
