@@ -384,7 +384,7 @@ def bench_e2e():
 _BIG_DATASET_TAG = "sphere-v2-100x1024-w96"
 
 
-def bench_e2e_big(n_views=100, size=1024, overlap=6):
+def bench_e2e_big(n_views=100, size=1024, overlap=6, budget_s=2400):
     """Realistic-scale end-to-end benchmark (judge round-3 missing #2):
     n_views >= 100 at size^2 px, SIFT HIGH, contiguous pair generation,
     batched geometric filter, then BOTH the INCREMENTAL and GLOBAL
@@ -449,6 +449,13 @@ def bench_e2e_big(n_views=100, size=1024, overlap=6):
             "big_size": size,
         }
         for engine in ("INCREMENTAL", "GLOBAL"):
+            k = engine.lower()
+            if time.perf_counter() - t_all > budget_s:
+                # the driver's bench run must always reach the JSON line;
+                # at the dense-feature scale a cold full matrix can
+                # exceed its patience — skip and say so
+                res[f"big_{k}_skipped"] = "bench time budget"
+                continue
             recon = os.path.join(td, "recon_" + engine)
             run("sfm_" + engine.lower(),
                 ["sfm", "-i", sfm_json, "-m", mdir,
@@ -456,7 +463,6 @@ def bench_e2e_big(n_views=100, size=1024, overlap=6):
                  "-o", recon, "-s", engine])
             scene = load_sfm_data(os.path.join(recon, "sfm_data.json"))
             stats = evaluate_against_gt(scene, gt)
-            k = engine.lower()
             res[f"big_{k}_poses"] = int(np.sum(scene.pose_valid))
             res[f"big_{k}_ate"] = round(float(stats["position_rmse"]), 4)
         res["big_total_s"] = round(time.perf_counter() - t_all, 1)
