@@ -40,6 +40,7 @@ from openmvg_tpu.sfm import robust
 from openmvg_tpu.sfm.scene import Scene, rmse
 from openmvg_tpu.sfm.tracks import build_tracks
 from openmvg_tpu.utils import graph as graphlib
+from openmvg_tpu.utils.logging import stage
 
 ROTATION_AVERAGING_L1 = 1
 ROTATION_AVERAGING_L2 = 2  # reference default (main_SfM.cpp)
@@ -195,7 +196,8 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
               f"({len(keep_nodes)} views)")
 
     # 2. relative poses
-    rel = compute_relative_poses(scene, index, pairs, cfg, key)
+    with stage("relative_poses"):
+        rel = compute_relative_poses(scene, index, pairs, cfg, key)
     _log(cfg, f"{len(rel)} relative poses")
     if len(rel) < 3:
         raise RuntimeError("not enough relative poses")
@@ -216,13 +218,15 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
     R_rel = np.stack([R_map[p] for p in kept_pairs])
     w = np.asarray([rel[p]["n_inliers"] for p in kept_pairs], float)
 
-    if cfg.rotation_averaging == ROTATION_AVERAGING_L2:
-        R_glob = np.asarray(ra.l2_rotation_averaging(
-            len(views), jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(R_rel),
-            jnp.asarray(w / w.max())))
-    else:
-        R_glob = np.asarray(ra.l1_rotation_averaging(
-            len(views), ei, ej, jnp.asarray(R_rel), jnp.asarray(w / w.max())))
+    with stage("rotation_averaging"):
+        if cfg.rotation_averaging == ROTATION_AVERAGING_L2:
+            R_glob = np.asarray(ra.l2_rotation_averaging(
+                len(views), jnp.asarray(ei), jnp.asarray(ej),
+                jnp.asarray(R_rel), jnp.asarray(w / w.max())))
+        else:
+            R_glob = np.asarray(ra.l1_rotation_averaging(
+                len(views), ei, ej, jnp.asarray(R_rel),
+                jnp.asarray(w / w.max())))
 
     # 4. translation averaging
     method = {TRANSLATION_AVERAGING_L1: ta.L1,
@@ -233,6 +237,8 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
         for v in views)
     tri_inlier_tids = None
     t_glob = None
+    ta_timer = stage("translation_averaging")
+    ta_timer.__enter__()
     if cfg.triplet_translation and triplets and not spherical:
         R_of_view = {v: R_glob[vmap_[v]] for v in views}
         rel_motions, tids = compute_triplet_translations(
@@ -259,6 +265,7 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
         R_rel_avg = np.einsum("eij,ekj->eik", R_glob[ej], R_glob[ei])
         t_glob, _ = ta.solve_translation_averaging(
             len(views), ei, ej, R_rel_avg, t_rel, method=method)
+    ta_timer.__exit__(None, None, None)
 
     # write poses
     for v, i in vmap_.items():
@@ -282,21 +289,25 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
             cand_tracks, np.fromiter(tri_inlier_tids, np.int64))]
         if len(validated) >= 16:
             cand_tracks = validated
-    n_rec = _reconstruct_tracks(scene, index, cand_tracks, landmark_of_track,
-                                _TriCfg(cfg))
-    _log(cfg, f"initial structure: {n_rec}/{len(cand_tracks)} tracks, "
-              f"rmse={rmse(scene):.3f}")
+    with stage("initial_structure"):
+        n_rec = _reconstruct_tracks(scene, index, cand_tracks,
+                                    landmark_of_track, _TriCfg(cfg))
+    if cfg.verbose:  # rmse costs a device call — skip when silent
+        _log(cfg, f"initial structure: {n_rec}/{len(cand_tracks)} tracks, "
+                  f"rmse={rmse(scene):.3f}")
 
     # 6. staged BA: T+X -> RT+X -> KRT+X
-    _staged_ba(scene, cfg)
-    filters.remove_outliers_pixel_residual(scene, cfg.max_residual_px, 2)
-    filters.remove_outliers_angle_error(scene, 2.0)
-    filters.erase_unstable_poses_and_observations(scene, 12, 3)
-    _run_ba(scene, _BaCfg(cfg))
-    while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+    with stage("staged_ba"):
+        _staged_ba(scene, cfg)
+        filters.remove_outliers_pixel_residual(scene, cfg.max_residual_px, 2)
+        filters.remove_outliers_angle_error(scene, 2.0)
+        filters.erase_unstable_poses_and_observations(scene, 12, 3)
         _run_ba(scene, _BaCfg(cfg))
-    _log(cfg, f"done: {int(scene.pose_valid.sum())} poses, "
-              f"{scene.n_landmarks} landmarks, rmse={rmse(scene):.3f}")
+        while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+            _run_ba(scene, _BaCfg(cfg))
+    if cfg.verbose:
+        _log(cfg, f"done: {int(scene.pose_valid.sum())} poses, "
+                  f"{scene.n_landmarks} landmarks, rmse={rmse(scene):.3f}")
     return scene
 
 

@@ -415,6 +415,13 @@ def _init_pair_triangulation_count(scene, index, info, cfg):
     triangulates the pair and fails out if the structure is empty),
     computed host-side with tiny per-point 4x4 DLT SVDs."""
     va, vb = info["view_a"], info["view_b"]
+    kinds = np.asarray(scene.cameras.kind)
+    if (int(kinds[scene.view_intrinsic[va]]) == cm.SPHERICAL
+            or int(kinds[scene.view_intrinsic[vb]]) == cm.SPHERICAL):
+        # the pixel-DLT check below assumes a pinhole projection; the
+        # angular 8-pt path has no small-parallax NFA ambiguity in
+        # practice, so accept as before
+        return info["n_inliers"]
     xa, xb, _ = _shared_track_corr(index, va, vb)
     xa, xb = xa[info["inliers"]], xb[info["inliers"]]
     if len(xa) == 0:
