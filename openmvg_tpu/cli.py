@@ -336,12 +336,11 @@ def cmd_filter(args):
     feats, descs = _load_features_for_scene(scene, matchdir)
     putative = load_matches(args.matches)
     t0 = time.time()
-    # 4.0 px upper bound; ortho runs at 2.0 px
-    # (main_GeometricFilter.cpp:342-361 functor constructor arguments)
-    thr = 2.0 if args.geometric_model == "o" else 4.0
+    # per-model default threshold resolved inside geometric_filter
+    # (4.0 px; 2.0 px for ortho, main_GeometricFilter.cpp:342-361)
     filtered = geometric_filter(
         scene, feats, putative, model=args.geometric_model,
-        threshold_px=thr, n_samples=args.max_iteration,
+        n_samples=args.max_iteration,
         guided=args.guided_matching, descs=descs)
     save_matches(filtered, args.output_file)
     n_m = sum(len(m) for m in filtered.values())

@@ -326,7 +326,10 @@ def _seg_sum(vals, ids, num, axis=None):
     O = vals.shape[0]
     if num <= _ONEHOT_SEGMENTS_MAX:
         flat = vals.reshape(O, -1)
-        if axis is None and num > 8 and O >= 8192 and _pallas_segsum_ok():
+        # f32 only: the kernel's dot_general accumulates f32; under x64
+        # (BA verification config) it would silently degrade f64 sums
+        if (axis is None and num > 8 and O >= 8192
+                and vals.dtype == jnp.float32 and _pallas_segsum_ok()):
             from openmvg_tpu.ops.pallas_segsum import seg_sum_mxu
 
             out = seg_sum_mxu(flat, ids, num)
@@ -339,8 +342,16 @@ def _seg_sum(vals, ids, num, axis=None):
         else:
             chunk = max(_ONEHOT_BUDGET_ELEMS // num, 1)
             chunk = 1 << (chunk.bit_length() - 1)
-            while O % chunk:
-                chunk >>= 1  # O is pow2-padded in practice
+            # pad O up to a chunk multiple (out-of-range segment id, zero
+            # vals) — shrinking chunk to divide a non-pow2 O would
+            # degenerate to a length-O scan
+            Opad = -O % chunk
+            ids_p, flat_p = ids, flat
+            if Opad:
+                ids_p = jnp.concatenate(
+                    [ids, jnp.full((Opad,), num, ids.dtype)])
+                flat_p = jnp.concatenate(
+                    [flat, jnp.zeros((Opad, flat.shape[1]), flat.dtype)])
 
             def body(acc, xs):
                 ids_c, flat_c = xs
@@ -349,8 +360,8 @@ def _seg_sum(vals, ids, num, axis=None):
 
             out, _ = jax.lax.scan(
                 body, jnp.zeros((num, flat.shape[1]), vals.dtype),
-                (ids.reshape(O // chunk, chunk),
-                 flat.reshape(O // chunk, chunk, flat.shape[1])))
+                (ids_p.reshape(-1, chunk),
+                 flat_p.reshape(-1, chunk, flat_p.shape[1])))
         out = out.reshape((num,) + vals.shape[1:])
     else:
         out = jax.ops.segment_sum(vals, ids, num_segments=num)

@@ -43,7 +43,7 @@ def _pow2(n, lo=64):
 
 def geometric_filter(scene, features: List[np.ndarray],
                      matches: Dict[Tuple[int, int], np.ndarray],
-                     model: str = "f", threshold_px: float = 4.0,
+                     model: str = "f", threshold_px: float = None,
                      n_samples: int = 2048, seed: int = 0,
                      guided: bool = False, descs: List[np.ndarray] = None,
                      chunk: int = None,
@@ -64,6 +64,10 @@ def geometric_filter(scene, features: List[np.ndarray],
         raise ValueError(f"unknown model {model}")
     if chunk is None:
         chunk = max(1, 4096 // max(n_samples, 1))
+    if threshold_px is None:
+        # per-model reference default: 2.0 px for ortho, 4.0 px otherwise
+        # (main_GeometricFilter.cpp:342-361 functor constructor arguments)
+        threshold_px = ORTHO_DEFAULT_PRECISION_PX if model == "o" else 4.0
     key = jax.random.PRNGKey(seed)
     prec = threshold_px * threshold_px if np.isfinite(threshold_px) else np.inf
 

@@ -30,7 +30,7 @@ from openmvg_tpu.sfm.scene import Scene, rmse
 from openmvg_tpu.sfm.scene_triangulation import triangulate_tracks
 from openmvg_tpu.sfm.tracks import Tracks, build_tracks
 from openmvg_tpu.geometry.pose import pose_from_Rt
-from openmvg_tpu.utils import hostmath
+from openmvg_tpu.utils import deadline, hostmath
 from openmvg_tpu.utils.logging import stage
 
 
@@ -626,6 +626,10 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         if len(gone):
             mask = np.isin(landmark_of_track, gone)
             landmark_of_track[mask] = -1
+            # invalidated tracks become retry candidates again (reference
+            # retries every round; without this they'd need a NEW posed
+            # observation to clear the last_tri_nobs gate)
+            index.last_tri_nobs[mask] = 0
         if cfg.verbose:
             _log(cfg, f"round {round_id}: +{added} views "
                       f"({len(posed)} total), {scene.n_landmarks} landmarks, "
@@ -663,6 +667,9 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
                 r_idx = 0
             else:
                 r_idx += 1
+            if deadline.past():
+                _log(cfg, "deadline reached — stopping with partial scene")
+                break
     else:
         while True:
             round_id += 1
@@ -675,10 +682,15 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
             if added == 0:
                 break
             _round_cleanup(added)
+            if deadline.past():
+                _log(cfg, "deadline reached — stopping with partial scene")
+                break
 
-    # final: BA until stable
+    # final: BA until stable (one pass always, so the returned scene is
+    # adjusted; the rejector re-adjust loop is skipped past the deadline)
     _run_ba(scene, cfg)
-    while filters.bad_track_rejector(scene, cfg.max_residual_px, 0):
+    while (not deadline.past()
+           and filters.bad_track_rejector(scene, cfg.max_residual_px, 0)):
         _run_ba(scene, cfg)
     if cfg.verbose:
         _log(cfg, f"done: {len(posed)} poses, {scene.n_landmarks} landmarks, "

@@ -160,16 +160,12 @@ def reprojection_residuals(scene: Scene):
     Xc = np.einsum("nij,nj->ni", R, scene.X[info["landmark_id"]] - C)
     cams = scene.cameras
     k = np.asarray(cams.kind, np.int32)[info["intr_id"]]
-    # f32 on the wire: this runs 2-3x per incremental round and f64
-    # arrays double the tunnel transfer (~0.4 s/call at 300k obs,
-    # measured round 4) for no accuracy the f32 projection could use
-    params = np.asarray(cams.params, np.float32)[info["intr_id"]]
-    w = np.asarray(cams.width, np.float32)[info["intr_id"]]
-    h = np.asarray(cams.height, np.float32)[info["intr_id"]]
-    # pow2-padded jitted call: an eager project_cam is ~20 one-op XLA
-    # programs per invocation through the tunnel (utils/hostmath.py)
-    proj = hostmath.padded_apply(cm.project_cam_jit,
-                                 (k, params, w, h, Xc.astype(np.float32)))
+    params = np.asarray(cams.params, np.float64)[info["intr_id"]]
+    w = np.asarray(cams.width, np.float64)[info["intr_id"]]
+    h = np.asarray(cams.height, np.float64)[info["intr_id"]]
+    # host numpy twin: f64-exact (the engine-test metric needs it) and
+    # cheaper than any device round-trip through the axon tunnel
+    proj = hostmath.project_cam_np(k, params, w, h, Xc)
     return proj - info["x"], info
 
 

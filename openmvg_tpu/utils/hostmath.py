@@ -85,6 +85,59 @@ def logmap_np(R):
     return np.where(near_pi[..., None], w_pi, w_generic)
 
 
+def _brown_disto_term_np(params, p):
+    """Numpy twin of models/cameras.py:_brown_disto_term."""
+    k1, k2, k3, t1, t2 = (params[..., 3 + i] for i in range(5))
+    x, y = p[..., 0], p[..., 1]
+    r2 = x * x + y * y
+    k_diff = k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+    t_x = t2 * (r2 + 2 * x * x) + 2 * t1 * x * y
+    t_y = t1 * (r2 + 2 * y * y) + 2 * t2 * x * y
+    return np.stack([x * k_diff + t_x, y * k_diff + t_y], axis=-1)
+
+
+def project_cam_np(kind, params, width, height, Xc):
+    """Numpy f64 twin of models/cameras.py:project_cam (all six models).
+
+    Used for host-side metrics (scene.reprojection_residuals) where f64
+    exactness matters and a device round-trip through the axon tunnel
+    would cost more than the arithmetic.  Keep in sync with the jnp
+    version (same distortion formulas, same spherical mapping,
+    Camera_Pinhole*.hpp / Camera_Spherical.hpp:141-148).
+    """
+    kind = np.asarray(kind, np.int32)
+    params = np.asarray(params, np.float64)
+    width = np.asarray(width, np.float64)
+    height = np.asarray(height, np.float64)
+    Xc = np.asarray(Xc, np.float64)
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    zs = np.where(np.abs(z) < 1e-12, np.where(z < 0, -1e-12, 1e-12), z)
+    p = np.stack([x / zs, y / zs], axis=-1)
+    # distortion (dense-select like the device path)
+    brown = p + _brown_disto_term_np(params, p)
+    k1, k2, k3, k4 = (params[..., 3 + i] for i in range(4))
+    r = np.hypot(p[..., 0], p[..., 1])
+    theta = np.arctan(r)
+    th2 = theta * theta
+    theta_dist = theta * (1 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4))))
+    cdist = np.where(r > 1e-8, theta_dist / np.maximum(r, 1e-8), 1.0)
+    fish = p * cdist[..., None]
+    has_poly = (kind == 2) | (kind == 3) | (kind == 4)  # K1/K3/BROWN
+    pd = np.where(has_poly[..., None], brown, p)
+    pd = np.where((kind == 5)[..., None], fish, pd)  # FISHEYE
+    f = params[..., 0:1]
+    pp = params[..., 1:3]
+    pin = f * pd + pp
+    # spherical (kind 7)
+    lon = np.arctan2(x, z)
+    lat = np.arctan2(-y, np.hypot(x, z))
+    two_pi = 2.0 * np.pi
+    size = np.maximum(width, height)[..., None]
+    sph = (np.stack([lon / two_pi, -lat / two_pi], axis=-1) * size
+           + np.stack([width, height], axis=-1) * 0.5)
+    return np.where((kind == 7)[..., None], sph, pin)
+
+
 def pow2(n, lo=64):
     k = lo
     while k < n:

@@ -90,3 +90,22 @@ def test_batched_mixed_kinds():
     f, ppx, ppy = 1200.0, 510.0, 390.0
     np.testing.assert_allclose(
         np.asarray(pix[0]), [f * 0.05 + ppx, f * (-0.025) + ppy], atol=1e-9)
+
+
+def test_project_cam_np_matches_device():
+    """hostmath.project_cam_np is the f64 numpy twin of project_cam —
+    keep them bit-comparable across all six models (incl. spherical)."""
+    import jax
+    from openmvg_tpu.utils import hostmath
+
+    all_models = MODELS + [(cm.SPHERICAL, ())]
+    cams = cm.stack_cameras([_cam(k, d) for k, d in all_models])
+    rng = np.random.default_rng(3)
+    n = len(all_models)
+    X = rng.uniform([-0.5, -0.5, 2.0], [0.5, 0.5, 6.0], size=(n, 3))
+    dev = jax.vmap(cm.project_cam, in_axes=(0, 0, 0, 0, 0))(
+        jnp.asarray(cams.kind), jnp.asarray(cams.params),
+        jnp.asarray(cams.width), jnp.asarray(cams.height), jnp.asarray(X))
+    host = hostmath.project_cam_np(cams.kind, cams.params, cams.width,
+                                   cams.height, X)
+    np.testing.assert_allclose(host, np.asarray(dev), rtol=1e-12, atol=1e-10)
