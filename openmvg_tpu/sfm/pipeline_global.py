@@ -39,6 +39,7 @@ from openmvg_tpu.sfm.pipeline_incremental import (
 from openmvg_tpu.sfm import robust
 from openmvg_tpu.sfm.scene import Scene, rmse
 from openmvg_tpu.sfm.tracks import build_tracks
+from openmvg_tpu.utils import deadline
 from openmvg_tpu.utils import graph as graphlib
 from openmvg_tpu.utils.logging import stage
 
@@ -303,7 +304,8 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
         filters.remove_outliers_angle_error(scene, 2.0)
         filters.erase_unstable_poses_and_observations(scene, 12, 3)
         _run_ba(scene, _BaCfg(cfg))
-        while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+        while (not deadline.past()
+               and filters.bad_track_rejector(scene, cfg.max_residual_px, 50)):
             _run_ba(scene, _BaCfg(cfg))
     if cfg.verbose:
         _log(cfg, f"done: {int(scene.pose_valid.sum())} poses, "
@@ -325,10 +327,17 @@ class _BaCfg:
 
 
 def _staged_ba(scene, cfg):
-    """BA(T+X) -> BA(RT+X) -> BA(KRT+X) (engine Adjust :418-532)."""
-    for refine_rot, refine_intr in ((False, ba.ADJUST_NONE),
-                                    (True, ba.ADJUST_NONE),
-                                    (True, cfg.refine_intrinsics)):
+    """BA(T+X) -> BA(RT+X) -> BA(KRT+X) (engine Adjust :418-532).
+
+    Past a deadline only the final full stage runs (the earlier stages
+    are warm-starts; one KRT+X adjust still yields a consistent scene).
+    """
+    stages_ = ((False, ba.ADJUST_NONE),
+               (True, ba.ADJUST_NONE),
+               (True, cfg.refine_intrinsics))
+    if deadline.past():
+        stages_ = stages_[-1:]
+    for refine_rot, refine_intr in stages_:
         prob, maps = ba.problem_from_scene(
             scene, refine_rotation=refine_rot, refine_translation=True,
             refine_intrinsics=refine_intr, dtype=cfg.dtype)
