@@ -22,6 +22,7 @@ TPU-first design:
     the JtJ diagonal (Marquardt).
 """
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -440,7 +441,8 @@ def build_pt_obs(obs_point, obs_w, n_points, group_budget_elems=1 << 24,
 
 
 def point_major_layout(obs_pose, obs_intr, obs_point, obs_x, obs_w,
-                       n_points, row_pad="pow2", r_fixed=None):
+                       n_points, row_pad="pow2", r_fixed=None,
+                       row_count=None):
     """Host-side: reorder + pad the observation table into the
     POINT-MAJOR layout (see PtObsTable): each point's observations are
     contiguous in R-slot rows, so every point-side reduction in the
@@ -449,11 +451,16 @@ def point_major_layout(obs_pose, obs_intr, obs_point, obs_x, obs_w,
     row_pad: "pow2" pads the row count to a power of two (executable
     reuse across a growing scene — the incremental engine's mode); an
     int pads to that multiple instead (one-shot problems, minimal
-    slack).  Returns the relaid
+    slack).  row_count pads to that EXACT row count (capacity mode: one
+    executable for the whole engine run).  Returns the relaid
     (obs_pose, obs_intr, obs_point, obs_x, obs_w, PtObsTable)."""
     t = build_pt_obs(obs_point, obs_w, n_points, r_fixed=r_fixed)
     L1, R = t.rows.shape
-    if row_pad == "pow2":
+    if row_count is not None:
+        if L1 > row_count:
+            raise ValueError(f"row capacity {row_count} < required {L1}")
+        L1p = row_count
+    elif row_pad == "pow2":
         L1p = _pow2(max(L1, 1), 8)
     else:
         L1p = -(-max(L1, 1) // row_pad) * row_pad
@@ -543,6 +550,31 @@ def _bmatvec(J, v):
 def _brmatvec(J, u):
     """(O, 2, k) x (O, 2) -> (O, k)."""
     return (J * u[:, :, None]).sum(1)
+
+
+def _inv_sym3(A):
+    """Explicit adjugate inverse of (N,3,3) SPD blocks (see _solve_sym3's
+    conditioning note).  Computed once per Schur solve so every CG
+    iteration's Hpp^-1 apply is a 9-MAC einsum instead of re-deriving
+    the cofactors (and so the fused Pallas S-matvec's XLA middle step
+    is matrix-free)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-30,
+                    jnp.where(det < 0, -1e-30, 1e-30), det)
+    rows = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c01, c11, c12], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    return rows / det[..., None, None]
 
 
 def _solve_sym3(A, b):
@@ -663,18 +695,60 @@ def schur_cg_solve(p: BAProblem, r, Jp6, Ji8, Jx3, lam, cfg: BAConfig, axis=None
     Mp = Mp * (free_p[:, :, None] * free_p[:, None, :]) + eye6 * (1.0 - free_p)[:, :, None]
     Mi = Mi * (free_i[:, :, None] * free_i[:, None, :]) + eye8 * (1.0 - free_i)[:, :, None]
 
-    def S_matvec(v):
-        """S v = (B + lam D) v - E Hpp^-1 E^T v, all implicit via J."""
-        vp, vi = v
-        u = _camera_matvec(vp, vi, p, Jp6, Ji8)
-        w = _pt_seg_sum(_brmatvec(Jx3, u), p, n_pts, point_axis)
-        y = _solve_sym3(Hpp, w)
-        zz = _bmatvec(Jx3, _pt_expand(y, p))
-        sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr, axis)
-        sp = sp + jnp.einsum("pij,pj->pi", Hprior, vp)
-        sp = sp + lam * dcc_p * vp
-        si = si + lam * dcc_i * vi
-        return sp, si
+    # fused Pallas S-matvec (ops/pallas_smatvec.py): single-shard f32
+    # point-major problems can run the whole matvec as 2 kernels + a tiny
+    # XLA middle.  OFF by default: measured 27.9 ms vs 11.3 ms staged at
+    # 1.6M slots on v5e (in-kernel (rows,3) transposes + narrow-lane
+    # temporaries padding to 128 lanes dominate) — see
+    # docs/performance.md; enable with OMT_FUSED_SMATVEC=1 to iterate
+    fused_rows = None
+    if (os.environ.get("OMT_FUSED_SMATVEC") == "1"
+            and axis is None and point_axis is None and p.pt_obs is not None
+            and p.pt_obs.rows is None and p.pt_obs.groups is not None
+            and Jp6.dtype == jnp.float32 and _pallas_segsum_ok()):
+        from openmvg_tpu.ops import pallas_smatvec
+
+        O = Jp6.shape[0]
+        L1 = p.pt_obs.row_point.shape[0]
+        if L1 and O % L1 == 0:
+            fused_rows = pallas_smatvec.plan(
+                O, O // L1, n_pose, n_intr, Jp6.dtype)
+
+    if fused_rows is not None:
+        from openmvg_tpu.ops import pallas_smatvec
+
+        Hpp_inv = _inv_sym3(Hpp)
+        O = Jp6.shape[0]
+        R_slots = O // p.pt_obs.row_point.shape[0]
+        # packed per-slot buffer built ONCE per solve; each CG iteration
+        # streams it twice (see ops/pallas_smatvec.py module docstring)
+        packed = pallas_smatvec.pack_slots(
+            Jp6.reshape(O, 12), Ji8.reshape(O, 16), Jx3.reshape(O, 6),
+            p.obs_pose, p.obs_intr)
+
+        def S_matvec(v):
+            vp, vi = v
+            sp, si = pallas_smatvec.s_matvec_halves(
+                packed, vp, vi, Hpp_inv, p.pt_obs.row_point,
+                p.pt_obs.groups, R=R_slots, rows=fused_rows)
+            sp = sp + jnp.einsum("pij,pj->pi", Hprior, vp)
+            sp = sp + lam * dcc_p * vp
+            si = si + lam * dcc_i * vi
+            return sp, si
+    else:
+        def S_matvec(v):
+            """S v = (B + lam D) v - E Hpp^-1 E^T v, all implicit via J."""
+            vp, vi = v
+            u = _camera_matvec(vp, vi, p, Jp6, Ji8)
+            w = _pt_seg_sum(_brmatvec(Jx3, u), p, n_pts, point_axis)
+            y = _solve_sym3(Hpp, w)
+            zz = _bmatvec(Jx3, _pt_expand(y, p))
+            sp, si = _camera_rmatvec(u - zz, p, Jp6, Ji8, n_pose, n_intr,
+                                     axis)
+            sp = sp + jnp.einsum("pij,pj->pi", Hprior, vp)
+            sp = sp + lam * dcc_p * vp
+            si = si + lam * dcc_i * vi
+            return sp, si
 
     # block-Jacobi preconditioner factors are constant across CG — invert
     # once outside the loop (jnp.linalg.solve inside the scan re-factored
@@ -905,10 +979,46 @@ def _pow2(n, lo=32):
     return k
 
 
+def ba_capacity_for_tracks(track_counts, n_views, n_intr=1):
+    """Final-size BA capacity from the full track table (incremental
+    engine): pads every problem of the run to ONE shape so the whole
+    reconstruction shares a single compiled adjust executable.
+
+    A fresh adjust compile costs ~38 s through the axon tunnel while a
+    warm full-capacity solve costs ~0.6 s (measured round 5 at 2M obs
+    slots, v5e) — per-round pow2 growth was recompiling 8-15 times per
+    run, dominating the engine wall-clock.
+
+    track_counts: per-track FINAL observation counts (upper bound on any
+    round's counts).  Returns the capacity dict for problem_from_scene.
+    """
+    track_counts = np.asarray(track_counts)
+    track_counts = track_counts[track_counts > 0]
+    n_tracks = len(track_counts)
+    L_cap = _pow2(max(n_tracks, 1))
+    # R selection mirroring build_pt_obs' cost heuristic on final counts
+    nz = track_counts
+    p99 = int(np.percentile(nz, 99)) if len(nz) else 1
+    r_hi = 1 << max(2, (max(p99, 1) - 1).bit_length())
+    r_hi = min(r_hi, 1 << (int(nz.max()) - 1).bit_length()) if len(nz) else 4
+    R, best = r_hi, None
+    for cand in (4, 8, 16, 32):
+        if cand > r_hi:
+            break
+        rows_c = int(np.sum(-(-nz // cand)))
+        cost = rows_c * cand + 3 * rows_c
+        if best is None or cost < best:
+            R, best = cand, cost
+    L1_bound = int(np.sum(-(-nz // R))) + (L_cap - n_tracks)
+    return dict(n_pose=_pow2(max(n_views, 1), 4), n_points=L_cap,
+                n_rows=_pow2(max(L1_bound, 8), 8), r_fixed=R,
+                n_intr=n_intr)
+
+
 def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
                        refine_intrinsics=ADJUST_NONE, refine_structure=True,
                        dtype=jnp.float32, pad_pow2=True, use_gps_priors=False,
-                       use_control_points=True):
+                       use_control_points=True, capacity=None):
     """Build a BAProblem from a Scene (Optimize_Options parity).
 
     refine_intrinsics: ADJUST_NONE | ADJUST_ALL | iterable of column ids.
@@ -916,7 +1026,9 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
     (problem, index_maps) where index_maps hold the original ids.
     With pad_pow2, observation and landmark counts are padded to powers of
     two (obs_w = 0 / mask_X = 0 padding) so repeated solves on a growing
-    scene reuse compiled executables.
+    scene reuse compiled executables.  With `capacity` (a
+    ba_capacity_for_tracks dict) every build of the run pads to the SAME
+    final shape — one compile for the whole engine run.
     """
     info = scene.obs_arrays_for_ba()
     # control points become extra observations on FIXED points appended to
@@ -940,16 +1052,14 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
     pose_ids = np.unique(info["pose_id"])
     intr_ids = np.unique(info["intr_id"])
     point_ids = np.unique(info["landmark_id"])
-    pose_map = {int(v): i for i, v in enumerate(pose_ids)}
-    intr_map = {int(v): i for i, v in enumerate(intr_ids)}
-    point_map = {int(v): i for i, v in enumerate(point_ids)}
 
-    obs_pose = np.vectorize(pose_map.get, otypes=[np.int32])(info["pose_id"]) \
-        if len(info["pose_id"]) else np.zeros(0, np.int32)
-    obs_intr = np.vectorize(intr_map.get, otypes=[np.int32])(info["intr_id"]) \
-        if len(info["intr_id"]) else np.zeros(0, np.int32)
-    obs_point = np.vectorize(point_map.get, otypes=[np.int32])(info["landmark_id"]) \
-        if len(info["landmark_id"]) else np.zeros(0, np.int32)
+    def compact(ids, uniq):  # id -> dense rank, pure numpy
+        return (np.searchsorted(uniq, ids).astype(np.int32)
+                if len(ids) else np.zeros(0, np.int32))
+
+    obs_pose = compact(info["pose_id"], pose_ids)
+    obs_intr = compact(info["intr_id"], intr_ids)
+    obs_point = compact(info["landmark_id"], point_ids)
 
     R = scene.pose_R[pose_ids]
     C = scene.pose_C[pose_ids]
@@ -975,7 +1085,12 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
 
     n_obs, n_pose, n_intr, n_pts = (len(obs_pose), len(pose_ids),
                                     len(intr_ids), len(point_ids))
-    if pad_pow2:
+    if capacity is not None and (n_pose > capacity["n_pose"]
+                                 or n_pts > capacity["n_points"]):
+        capacity = None  # bound exceeded (e.g. extra GCP points): pow2
+    if capacity is not None:
+        P2, L2 = capacity["n_pose"], capacity["n_points"]
+    elif pad_pow2:
         P2, L2 = _pow2(max(n_pose, 1), 4), _pow2(max(n_pts, 1))
     else:
         P2, L2 = n_pose, n_pts
@@ -990,10 +1105,19 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
     # point-major observation layout (see PtObsTable): the obs count is
     # determined by the layout (L1p * R, a pow2 under pad_pow2 since both
     # factors are), replacing the former flat pow2 obs padding
-    (obs_pose, obs_intr, obs_point, obs_x_arr, obs_w,
-     pt_table) = point_major_layout(
-        obs_pose, obs_intr, obs_point, np.asarray(info["x"], np.float64),
-        np.ones(n_obs), L2)
+    try:
+        (obs_pose, obs_intr, obs_point, obs_x_arr, obs_w,
+         pt_table) = point_major_layout(
+            obs_pose, obs_intr, obs_point,
+            np.asarray(info["x"], np.float64), np.ones(n_obs), L2,
+            r_fixed=capacity["r_fixed"] if capacity else None,
+            row_count=capacity["n_rows"] if capacity else None)
+    except ValueError:
+        # row capacity exceeded (denser than the planned bound): pow2
+        (obs_pose, obs_intr, obs_point, obs_x_arr, obs_w,
+         pt_table) = point_major_layout(
+            obs_pose, obs_intr, obs_point,
+            np.asarray(info["x"], np.float64), np.ones(n_obs), L2)
     O2 = len(obs_pose)
     X_all = (np.concatenate([scene.X, scene.cp_X]) if n_cp
              else scene.X)
@@ -1012,6 +1136,22 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
             if np.any(w > 0) and pid in pm:
                 prior_C[pm[pid]] = scene.prior_center[v]
                 prior_w[pm[pid]] = w
+    # intrinsic capacity padding: posed-view growth can add intrinsic
+    # rows across rounds; padded rows (kind PINHOLE, unit focal, mask 0)
+    # are never referenced by any observation
+    I2 = n_intr
+    if capacity is not None and capacity.get("n_intr", 0) >= n_intr:
+        I2 = capacity["n_intr"]
+    intr_kind_arr = np.full(I2, cm.PINHOLE, np.int32)
+    intr_kind_arr[:n_intr] = np.asarray(scene.cameras.kind)[intr_ids]
+    intr_wh_arr = np.ones((I2, 2))
+    intr_wh_arr[:n_intr] = np.stack(
+        [np.asarray(scene.cameras.width)[intr_ids],
+         np.asarray(scene.cameras.height)[intr_ids]], -1)
+    intr_params_arr = np.ones((I2, cm.MAX_PARAMS))
+    intr_params_arr[:n_intr] = np.asarray(scene.cameras.params)[intr_ids]
+    mask_intr = np.concatenate(
+        [mask_intr, np.zeros((I2 - n_intr, 8))]) if I2 > n_intr else mask_intr
     p = BAProblem(
         obs_pose=jnp.asarray(obs_pose, jnp.int32),
         obs_intr=jnp.asarray(obs_intr, jnp.int32),
@@ -1020,11 +1160,9 @@ def problem_from_scene(scene, refine_rotation=True, refine_translation=True,
         obs_w=jnp.asarray(obs_w, dtype),
         rotvec=jnp.asarray(padv(rotvec, P2), dtype),
         t=jnp.asarray(padv(t, P2), dtype),
-        intr_kind=jnp.asarray(np.asarray(scene.cameras.kind)[intr_ids], jnp.int32),
-        intr_wh=jnp.asarray(np.stack(
-            [np.asarray(scene.cameras.width)[intr_ids],
-             np.asarray(scene.cameras.height)[intr_ids]], -1), dtype),
-        intr_params=jnp.asarray(np.asarray(scene.cameras.params)[intr_ids], dtype),
+        intr_kind=jnp.asarray(intr_kind_arr, jnp.int32),
+        intr_wh=jnp.asarray(intr_wh_arr, dtype),
+        intr_params=jnp.asarray(intr_params_arr, dtype),
         X=jnp.asarray(X_arr, dtype),
         mask_pose=jnp.asarray(padv(mask_pose, P2), dtype),
         mask_intr=jnp.asarray(mask_intr, dtype),

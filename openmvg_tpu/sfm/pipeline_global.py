@@ -64,6 +64,8 @@ class GlobalConfig:
     # f32 = the TPU production dtype; pass jnp.float64 + jax_enable_x64
     # explicitly for CPU fp64 verification (judge round-2 weak #8)
     dtype: object = jnp.float32
+    # f64 host LM tail after convergence (sfm/polish.py)
+    f64_polish: bool = True
     # per-triplet translation re-estimation (edge coverage); falls back to
     # two-view translations when it yields too few motions
     triplet_translation: bool = True
@@ -307,6 +309,11 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
         while (not deadline.past()
                and filters.bad_track_rejector(scene, cfg.max_residual_px, 50)):
             _run_ba(scene, _BaCfg(cfg))
+    if cfg.f64_polish:
+        from openmvg_tpu.sfm.polish import f64_polish
+
+        with stage("f64_polish"):
+            f64_polish(scene)
     if cfg.verbose:
         _log(cfg, f"done: {int(scene.pose_valid.sum())} poses, "
                   f"{scene.n_landmarks} landmarks, rmse={rmse(scene):.3f}")

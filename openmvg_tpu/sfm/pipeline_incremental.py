@@ -88,6 +88,13 @@ class IncrementalConfig:
     # angle filter (RemoveOutliers_AngleError)
     engine_version: int = 1
     v2_track_inlier_ratios: Tuple[float, ...] = (0.2, 0.0)
+    # final-size BA capacity (ba.ba_capacity_for_tracks dict), derived
+    # once per run by incremental_sfm from the track table so every
+    # adjust of the run shares one compiled executable
+    ba_capacity: object = None
+    # f64 host LM tail after convergence (sfm/polish.py): closes the
+    # f32-BA accuracy gap vs the reference's all-f64 ceres
+    f64_polish: bool = True
 
 
 def _log(cfg, *msg):
@@ -473,20 +480,35 @@ def _append_observations(scene, track_rows, index, landmark_of_track):
     scene.obs_valid = np.concatenate([scene.obs_valid, np.ones(len(track_rows), bool)])
 
 
+def _timed_rejector(scene, cfg, count_threshold=50):
+    with stage("rejector"):
+        return filters.bad_track_rejector(scene, cfg.max_residual_px,
+                                          count_threshold)
+
+
 def _run_ba(scene, cfg, refine_intrinsics=None):
   with stage("bundle_adjustment"):
-      prob, maps = ba.problem_from_scene(
-          scene,
-          refine_intrinsics=cfg.refine_intrinsics if refine_intrinsics is None
-          else refine_intrinsics,
-          dtype=cfg.dtype)
+      with stage("ba_build"):
+          prob, maps = ba.problem_from_scene(
+              scene,
+              refine_intrinsics=cfg.refine_intrinsics
+              if refine_intrinsics is None else refine_intrinsics,
+              dtype=cfg.dtype,
+              # final-size capacity: one compiled adjust for the whole
+              # run (a fresh compile costs ~38 s through the tunnel vs
+              # 0.6 s warm full-capacity solves — see
+              # ba.ba_capacity_for_tracks)
+              capacity=getattr(cfg, "ba_capacity", None))
       if prob.obs_pose.shape[0] == 0 or prob.intr_params.shape[0] == 0:
         # (the obs table is pow2-PADDED, so a scene with zero real
         # observations still presents 32 padded rows — the empty intrinsic
         # table is the reliable emptiness signal)
           return
-      prob, cost, _ = ba.adjust(prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
-      ba.scene_from_problem(scene, prob, maps)
+      with stage("ba_solve"):
+          prob, cost, _ = ba.adjust(
+              prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
+      with stage("ba_write"):
+          ba.scene_from_problem(scene, prob, maps)
 
 
 def incremental_sfm(scene: Scene, features: List[np.ndarray],
@@ -502,6 +524,10 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
     tracks = build_tracks(matches, min_length=2)
     index = _TrackIndex(tracks, features)
     _log(cfg, f"{tracks.n_tracks} tracks")
+    if cfg.ba_capacity is None:
+        cfg = dataclasses.replace(cfg, ba_capacity=ba.ba_capacity_for_tracks(
+            np.bincount(tracks.track_id, minlength=tracks.n_tracks),
+            scene.n_views, len(np.asarray(scene.cameras.kind))))
 
     # landmark slot per track (-1 = not reconstructed)
     landmark_of_track = np.full(tracks.n_tracks, -1, np.int64)
@@ -614,13 +640,14 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         with stage("triangulation"):
             _grow_structure(scene, index, posed, landmark_of_track, cfg)
         _run_ba(scene, cfg)
-        while filters.bad_track_rejector(scene, cfg.max_residual_px, 50):
+        while _timed_rejector(scene, cfg):
             _run_ba(scene, cfg)
-        if cfg.engine_version == 2:
-            # sequential_SfM2.cpp:166 RemoveOutliers_AngleError(2.0)
-            filters.remove_outliers_angle_error(scene, 2.0)
-        filters.erase_unstable_poses_and_observations(
-            scene, cfg.min_points_per_pose)
+        with stage("filters"):
+            if cfg.engine_version == 2:
+                # sequential_SfM2.cpp:166 RemoveOutliers_AngleError(2.0)
+                filters.remove_outliers_angle_error(scene, 2.0)
+            filters.erase_unstable_poses_and_observations(
+                scene, cfg.min_points_per_pose)
         # reflect erased landmarks in the track map
         gone = np.nonzero(~scene.X_valid)[0]
         if len(gone):
@@ -631,9 +658,10 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
             # observation to clear the last_tri_nobs gate)
             index.last_tri_nobs[mask] = 0
         if cfg.verbose:
-            _log(cfg, f"round {round_id}: +{added} views "
-                      f"({len(posed)} total), {scene.n_landmarks} landmarks, "
-                      f"rmse={rmse(scene):.3f}")
+            with stage("round_log"):
+                _log(cfg, f"round {round_id}: +{added} views "
+                          f"({len(posed)} total), {scene.n_landmarks} "
+                          f"landmarks, rmse={rmse(scene):.3f}")
         if cfg.dump_dir:
             import os as _os
 
@@ -673,9 +701,10 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
     else:
         while True:
             round_id += 1
-            group = _find_resection_group(scene, index, posed,
-                                          landmark_of_track, cfg,
-                                          failed_rounds)
+            with stage("find_group"):
+                group = _find_resection_group(scene, index, posed,
+                                              landmark_of_track, cfg,
+                                              failed_rounds)
             if not group:
                 break
             added = _resect_group(group)
@@ -689,9 +718,16 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
     # final: BA until stable (one pass always, so the returned scene is
     # adjusted; the rejector re-adjust loop is skipped past the deadline)
     _run_ba(scene, cfg)
-    while (not deadline.past()
-           and filters.bad_track_rejector(scene, cfg.max_residual_px, 0)):
+    while not deadline.past() and _timed_rejector(scene, cfg, 0):
         _run_ba(scene, cfg)
+    if cfg.f64_polish:
+        from openmvg_tpu.sfm.polish import f64_polish
+
+        with stage("f64_polish"):
+            n_pol = f64_polish(scene)
+        if n_pol and cfg.verbose:
+            _log(cfg, f"f64 polish: {n_pol} accepted steps, "
+                      f"rmse={rmse(scene):.4f}")
     if cfg.verbose:
         _log(cfg, f"done: {len(posed)} poses, {scene.n_landmarks} landmarks, "
                   f"rmse={rmse(scene):.3f}")

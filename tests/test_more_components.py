@@ -140,3 +140,27 @@ def test_preemptive_subset():
     assert len(f2) == 50
     assert f2[:, 2].min() == 250  # largest scales kept
     np.testing.assert_array_equal(d2[:, 0], f2[:, 2])
+
+
+def test_f64_polish_tightens_f32_scene():
+    from openmvg_tpu import native
+    from openmvg_tpu.sfm.polish import f64_polish
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    s = ring_scene(n_views=8, n_points=60, seed=11)
+    sc = scene_from_ring(s, seed=12)
+    # emulate the f32 production BA output: round all state to f32
+    sc.pose_R = sc.pose_R.astype(np.float32).astype(np.float64)
+    sc.pose_C = sc.pose_C.astype(np.float32).astype(np.float64)
+    sc.X = sc.X.astype(np.float32).astype(np.float64)
+    before = rmse(sc)
+    n = f64_polish(sc)
+    after = rmse(sc)
+    assert n > 0
+    assert after < before * 0.2, (before, after)
+    # rotations stay orthonormal
+    RtR = np.einsum("nji,njk->nik", sc.pose_R, sc.pose_R)
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (8, 1, 1)), atol=1e-9)
