@@ -1267,7 +1267,8 @@ def cmd_scaling_bench(args):
 
     sizes = tuple(int(s) for s in args.mesh_sizes.split(","))
     res = measure_weak_scaling(mesh_sizes=sizes,
-                               pairs_per_device=args.pairs_per_device)
+                               pairs_per_device=args.pairs_per_device,
+                               n_feats=args.n_feats, trials=args.trials)
     print(json.dumps(res, indent=1))
     return 0
 
@@ -1554,6 +1555,8 @@ def main(argv=None):
     p.add_argument("-n", "--n_views", type=int, default=8)
     p.add_argument("-s", "--mesh_sizes", default="1,2,4,8")
     p.add_argument("-p", "--pairs_per_device", type=int, default=256)
+    p.add_argument("-f", "--n_feats", type=int, default=1024)
+    p.add_argument("-t", "--trials", type=int, default=5)
     p.set_defaults(fn=cmd_scaling_bench)
 
     args = ap.parse_args(argv)

@@ -95,6 +95,13 @@ class IncrementalConfig:
     # f64 host LM tail after convergence (sfm/polish.py): closes the
     # f32-BA accuracy gap vs the reference's all-f64 ceres
     f64_polish: bool = True
+    # mid-round BA stops at this relative cost improvement and at
+    # ba_round_iterations LM steps; the final BA + f64 polish run at
+    # full tolerance (ceres 1e-6) and full ba_iterations.  Mid-loop
+    # adjusts are re-entered every round anyway, so their tail
+    # iterations are wasted work the next resection invalidates
+    ba_round_ftol: float = 1e-4
+    ba_round_iterations: int = 12
 
 
 def _log(cfg, *msg):
@@ -486,7 +493,8 @@ def _timed_rejector(scene, cfg, count_threshold=50):
                                           count_threshold)
 
 
-def _run_ba(scene, cfg, refine_intrinsics=None):
+def _run_ba(scene, cfg, refine_intrinsics=None, function_tolerance=None,
+            max_iterations=None):
   with stage("bundle_adjustment"):
       with stage("ba_build"):
           prob, maps = ba.problem_from_scene(
@@ -505,8 +513,11 @@ def _run_ba(scene, cfg, refine_intrinsics=None):
         # table is the reliable emptiness signal)
           return
       with stage("ba_solve"):
-          prob, cost, _ = ba.adjust(
-              prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
+          bacfg = ba.BAConfig(max_iterations=cfg.ba_iterations
+                              if max_iterations is None else max_iterations)
+          if function_tolerance is not None:
+              bacfg = bacfg._replace(function_tolerance=function_tolerance)
+          prob, cost, _ = ba.adjust(prob, bacfg)
       with stage("ba_write"):
           ba.scene_from_problem(scene, prob, maps)
 
@@ -639,9 +650,11 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         # add observations of posed views to existing landmarks + new tracks
         with stage("triangulation"):
             _grow_structure(scene, index, posed, landmark_of_track, cfg)
-        _run_ba(scene, cfg)
+        _run_ba(scene, cfg, function_tolerance=cfg.ba_round_ftol,
+                max_iterations=cfg.ba_round_iterations)
         while _timed_rejector(scene, cfg):
-            _run_ba(scene, cfg)
+            _run_ba(scene, cfg, function_tolerance=cfg.ba_round_ftol,
+                    max_iterations=cfg.ba_round_iterations)
         with stage("filters"):
             if cfg.engine_version == 2:
                 # sequential_SfM2.cpp:166 RemoveOutliers_AngleError(2.0)

@@ -66,7 +66,10 @@ def triangulate_tracks(scene: Scene, obs_view, obs_x, track_of_obs, n_tracks,
     ox = obs_x[order][keep]
 
     K = _next_pow2(int(slot.max()) + 1 if len(slot) else 2, lo=2)
-    T = n_tracks
+    # pow2-pad the track count too: T rode raw through the jit boundary,
+    # recompiling _triangulate_batch nearly every engine round (~30-40 s
+    # each through the axon tunnel); padded tracks have ws=0 -> ok=False
+    T = _next_pow2(max(n_tracks, 1), lo=256)
     Rs = np.tile(np.eye(3), (T, K, 1, 1))
     ts = np.zeros((T, K, 3))
     bs = np.zeros((T, K, 3))
@@ -106,4 +109,4 @@ def triangulate_tracks(scene: Scene, obs_view, obs_x, track_of_obs, n_tracks,
         jnp.asarray(kinds), jnp.asarray(prs), jnp.asarray(wis),
         jnp.asarray(his), jnp.asarray(xs),
         float(np.cos(np.radians(min_angle_deg))), max_residual_px**2)
-    return np.asarray(X), np.asarray(ok)
+    return np.asarray(X)[:n_tracks], np.asarray(ok)[:n_tracks]
