@@ -115,19 +115,143 @@ def _normalized_coords(scene, v, xy):
     return b[:, :2] / b[:, 2:3]
 
 
-def compute_triplet_translations(scene, index, triplets, R_of_view, cfg, key):
-    """Edge-coverage relative-translation estimation
-    (GlobalSfM_translation_averaging.cpp:440-637): for every pair-graph
-    edge not yet covered, try its supporting triplets (sorted by shared
-    track count) with per-triplet AC-RANSAC until one succeeds; each
-    success emits the triplet's 3 relative motions as one scale group and
-    marks its edges covered.
+_tt_batch_cache = {}
 
-    Returns (rel_motions [(group, (vi, vj), R_ij, t_ij)], inlier_track_ids).
+
+def _evaluate_triplets_batched(scene, triplets, tri_data, R_of_view, cfg,
+                               key):
+    """AC-RANSAC verdict for EVERY candidate triplet, batched.
+
+    The reference's edge-coverage loop (GlobalSfM_translation_averaging
+    .cpp:440-637) evaluates triplets one at a time, stopping at the first
+    success per edge — a sequential dispatch storm on an accelerator
+    (round-4 profile: this stage dominated the GLOBAL engine).  A
+    triplet's accept/reject verdict does not depend on the coverage
+    state, so evaluating ALL candidates up front in pow2-bucketed vmapped
+    chunks (same dispatch pattern as relative_pose_batch /
+    geometric_filter) leaves the greedy coverage loop pure host logic
+    with IDENTICAL outcomes — at the cost of computing verdicts the
+    greedy loop may never read, which is the cheap direction on a TPU.
+
+    Per-triplet PRNG keys stay fold_in(key, t_idx): the same stream the
+    sequential loop drew, so accepted models are bit-identical.
+
+    Returns {t_idx: (found, ts (3,3), inliers (n,))}.
     """
     from collections import defaultdict
 
     from openmvg_tpu.ops import triplet_translation as tt
+    from openmvg_tpu.sfm.pipeline_incremental import _fold_keys
+
+    if not tri_data:
+        return {}
+    order = sorted(tri_data)
+
+    # one bearings dispatch for every observation of every candidate
+    flat_v, flat_xy = [], []
+    for t_idx in order:
+        xa, xb, xc, _ = tri_data[t_idx]
+        for v, x in zip(triplets[t_idx], (xa, xb, xc)):
+            flat_v.append(np.full(len(x), v, np.int64))
+            flat_xy.append(np.asarray(x, np.float64))
+    b = np.asarray(_bearings(scene, np.concatenate(flat_v),
+                             np.concatenate(flat_xy)))
+    norm = b[:, :2] / b[:, 2:3]
+
+    # focal per view via one tiny K_matrix dispatch per intrinsic
+    focal_of_intr = {}
+    focal_of_view = {}
+    for t_idx in order:
+        for v in triplets[t_idx]:
+            if v in focal_of_view:
+                continue
+            iid = int(scene.view_intrinsic[v])
+            if iid not in focal_of_intr:
+                focal_of_intr[iid] = float(np.asarray(cm.K_matrix(
+                    jnp.asarray(scene.cameras.params[iid])))[0, 0])
+            focal_of_view[v] = focal_of_intr[iid]
+
+    # slice the flat normalized-coord table back into (3, n, 2) blocks
+    xs_of, off = {}, 0
+    for t_idx in order:
+        n = len(tri_data[t_idx][3])
+        xs_of[t_idx] = norm[off:off + 3 * n].reshape(3, n, 2)
+        off += 3 * n
+
+    buckets = defaultdict(list)
+    for t_idx in order:
+        n = len(tri_data[t_idx][3])
+        k = 32
+        while k < n:
+            k *= 2
+        buckets[k].append(t_idx)
+
+    # instance bound: a single program holding more than ~4096 vmapped
+    # solver instances (triplets x samples) kills the v5e worker (see
+    # relative_pose_batch); same shapes -> more dispatches instead
+    chunk = max(1, 4096 // max(cfg.triplet_samples, 1))
+    keys_all = _fold_keys(key, np.asarray(order))
+    key_of = {t: np.asarray(keys_all[i]) for i, t in enumerate(order)}
+
+    results = {}
+    for K, tlist in sorted(buckets.items()):
+        for g0 in range(0, len(tlist), chunk):
+            grp = tlist[g0:g0 + chunk]
+            P = min(chunk, _pow2_lo1(len(grp)))
+            xs = np.zeros((P, 3, K, 2))
+            Rs = np.zeros((P, 3, 3, 3))
+            valid = np.zeros((P, K), bool)
+            prec = np.ones(P)
+            keys = np.zeros((P,) + keys_all.shape[1:], keys_all.dtype)
+            for s in range(P):
+                t_idx = grp[min(s, len(grp) - 1)]
+                n = len(tri_data[t_idx][3])
+                xs[s, :, :n] = xs_of[t_idx]
+                Rs[s] = np.stack([R_of_view[v] for v in triplets[t_idx]])
+                valid[s, :n] = True
+                prec[s] = cfg.max_residual_px / min(
+                    focal_of_view[v] for v in triplets[t_idx])
+                keys[s] = key_of[t_idx]
+            sig = (P, K, int(cfg.triplet_samples))
+            fn = _tt_batch_cache.get(sig)
+            if fn is None:
+                fn = jax.jit(jax.vmap(
+                    lambda k_, x_, R_, v_, p_:
+                    tt.triplet_translation_acransac(
+                        k_, x_, R_, v_, n_samples=cfg.triplet_samples,
+                        precision_norm=p_)))
+                _tt_batch_cache[sig] = fn
+            res = fn(jnp.asarray(keys), jnp.asarray(xs), jnp.asarray(Rs),
+                     jnp.asarray(valid), jnp.asarray(prec))
+            found = np.asarray(res.found)
+            ts = np.asarray(res.ts)
+            inl = np.asarray(res.inliers)
+            for s, t_idx in enumerate(grp):
+                n = len(tri_data[t_idx][3])
+                results[t_idx] = (bool(found[s]), ts[s], inl[s, :n])
+    return results
+
+
+def _pow2_lo1(n):
+    k = 1
+    while k < n:
+        k *= 2
+    return k
+
+
+def compute_triplet_translations(scene, index, triplets, R_of_view, cfg, key):
+    """Edge-coverage relative-translation estimation
+    (GlobalSfM_translation_averaging.cpp:440-637): for every pair-graph
+    edge not yet covered, try its supporting triplets (sorted by shared
+    track count) until one succeeds; each success emits the triplet's 3
+    relative motions as one scale group and marks its edges covered.
+    Triplet verdicts are precomputed in batched vmapped device calls
+    (_evaluate_triplets_batched) — identical greedy outcomes, no
+    per-triplet dispatch storm.
+
+    Returns (rel_motions [(group, (vi, vj), R_ij, t_ij)], inlier_track_ids).
+    """
+    from collections import defaultdict
 
     tri_data = {}
     edge_tris = defaultdict(list)
@@ -138,6 +262,9 @@ def compute_triplet_translations(scene, index, triplets, R_of_view, cfg, key):
         tri_data[t_idx] = (xa, xb, xc, tids)
         for e in ((i, j), (j, k), (i, k)):
             edge_tris[tuple(sorted(e))].append(t_idx)
+
+    verdicts = _evaluate_triplets_batched(scene, triplets, tri_data,
+                                          R_of_view, cfg, key)
 
     rel_motions = []
     inlier_track_ids = set()
@@ -154,27 +281,11 @@ def compute_triplet_translations(scene, index, triplets, R_of_view, cfg, key):
                                    (tri[0], tri[2]))]
             if all(e in covered for e in tri_edges):
                 continue
-            xa, xb, xc, tids = tri_data[t_idx]
-            n = len(tids)
-            xs = np.stack([_normalized_coords(scene, v, x)
-                           for v, x in zip(tri, (xa, xb, xc))], 0)
-            Rs = np.stack([R_of_view[v] for v in tri])
-            focals = [float(np.asarray(cm.K_matrix(jnp.asarray(
-                scene.cameras.params[scene.view_intrinsic[v]])))[0, 0])
-                for v in tri]
-            min_focal = min(focals)
-            (xs_p,), kpad = _pad_pow2([np.swapaxes(xs, 0, 1)], n, lo=32)
-            valid = np.arange(kpad) < n
-            res = tt.triplet_translation_acransac_jit(
-                jax.random.fold_in(key, t_idx),
-                jnp.asarray(np.swapaxes(xs_p, 0, 1)), jnp.asarray(Rs),
-                jnp.asarray(valid), n_samples=cfg.triplet_samples,
-                precision_norm=cfg.max_residual_px / min_focal)
-            inl = np.array(res.inliers)[:n]
-            if not bool(res.found) or inl.sum() <= cfg.triplet_min_inliers:
+            tids = tri_data[t_idx][3]
+            found, ts, inl = verdicts[t_idx]
+            if not found or inl.sum() <= cfg.triplet_min_inliers:
                 continue
             covered.update(tri_edges)
-            ts = np.array(res.ts)
             for a, b in ((0, 1), (1, 2), (0, 2)):
                 Rab = R_of_view[tri[b]] @ R_of_view[tri[a]].T
                 tab = ts[b] - Rab @ ts[a]
@@ -300,15 +411,23 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
                   f"rmse={rmse(scene):.3f}")
 
     # 6. staged BA: T+X -> RT+X -> KRT+X
+    # final-size capacity: the refine masks are runtime arrays, so every
+    # stage, the final BA and the rejector loop share ONE compiled adjust
+    # executable (a fresh compile costs ~38 s through the tunnel; see
+    # ba.ba_capacity_for_tracks)
+    capacity = ba.ba_capacity_for_tracks(
+        np.bincount(tracks.track_id, minlength=tracks.n_tracks),
+        scene.n_views, len(np.asarray(scene.cameras.kind)))
+    ba_cfg = _BaCfg(cfg, capacity)
     with stage("staged_ba"):
-        _staged_ba(scene, cfg)
+        _staged_ba(scene, cfg, capacity)
         filters.remove_outliers_pixel_residual(scene, cfg.max_residual_px, 2)
         filters.remove_outliers_angle_error(scene, 2.0)
         filters.erase_unstable_poses_and_observations(scene, 12, 3)
-        _run_ba(scene, _BaCfg(cfg))
+        _run_ba(scene, ba_cfg)
         while (not deadline.past()
                and filters.bad_track_rejector(scene, cfg.max_residual_px, 50)):
-            _run_ba(scene, _BaCfg(cfg))
+            _run_ba(scene, ba_cfg)
     if cfg.f64_polish:
         from openmvg_tpu.sfm.polish import f64_polish
 
@@ -327,13 +446,14 @@ class _TriCfg:
 
 
 class _BaCfg:
-    def __init__(self, cfg):
+    def __init__(self, cfg, capacity=None):
         self.refine_intrinsics = cfg.refine_intrinsics
         self.ba_iterations = cfg.ba_iterations
         self.dtype = cfg.dtype
+        self.ba_capacity = capacity
 
 
-def _staged_ba(scene, cfg):
+def _staged_ba(scene, cfg, capacity=None):
     """BA(T+X) -> BA(RT+X) -> BA(KRT+X) (engine Adjust :418-532).
 
     Past a deadline only the final full stage runs (the earlier stages
@@ -347,7 +467,8 @@ def _staged_ba(scene, cfg):
     for refine_rot, refine_intr in stages_:
         prob, maps = ba.problem_from_scene(
             scene, refine_rotation=refine_rot, refine_translation=True,
-            refine_intrinsics=refine_intr, dtype=cfg.dtype)
+            refine_intrinsics=refine_intr, dtype=cfg.dtype,
+            capacity=capacity)
         if prob.obs_pose.shape[0] == 0 or prob.intr_params.shape[0] == 0:
             return
         prob, _, _ = ba.adjust(prob, ba.BAConfig(max_iterations=cfg.ba_iterations))
