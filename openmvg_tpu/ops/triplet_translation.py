@@ -29,7 +29,6 @@ import numpy as np
 
 from openmvg_tpu.geometry.so3 import skew
 from openmvg_tpu.ops import ransac
-from openmvg_tpu.ops.triangulation import triangulate_nview
 
 
 def solve_translations_known_rotations(xs, Rs, valid=None, ridge=1e-10):
@@ -76,21 +75,66 @@ def solve_translations_known_rotations(xs, Rs, valid=None, ridge=1e-10):
 
 
 def _max_reproj_error(ts, Rs, xs, eps=1e-12):
-    """TrifocalTensorModel::Error: triangulate each track with the V
-    cameras, return max squared reprojection error (normalized coords)."""
-    V = Rs.shape[0]
-    bear = jnp.concatenate([xs, jnp.ones(xs.shape[:-1] + (1,), xs.dtype)], -1)
-    # (m, V, 3) bearings per track
-    b_t = jnp.swapaxes(bear, 0, 1)
-    Rb = jnp.broadcast_to(Rs[None], (xs.shape[1], V, 3, 3))
-    tb = jnp.broadcast_to(ts[None], (xs.shape[1], V, 3))
-    X, _ = triangulate_nview(Rb, tb, b_t)    # (m, 3)
-    proj = jnp.einsum("vij,mj->vmi", Rs, X) + ts[:, None, :]
-    z = proj[..., 2]
-    pr = proj[..., :2] / jnp.where(jnp.abs(z) < eps, eps, z)[..., None]
-    err = jnp.sum((pr - xs) ** 2, -1)        # (V, m)
-    err = jnp.where(z > 0, err, jnp.inf)
-    return jnp.max(err, 0)                   # (m,)
+    """TrifocalTensorModel::Error: triangulate each track with the 3
+    cameras, return max squared reprojection error (normalized coords).
+
+    Lane-major closed form: the generic triangulate_nview path builds a
+    per-track (9, 4) DLT system whose trailing dims TPU tiling pads to
+    (8, 128) lanes — a ~32x memory blowup that OOMs the vmapped triplet
+    sampler (measured 29 GB at 12 triplets x 320 samples x 4096 tracks,
+    v5e).  Here the per-track linear triangulation is the 3x3 normal
+    equations of  min_X sum_v |[b_v]_x (R_v X + t_v)|^2  solved by
+    adjugate, written as elementwise ops whose ONLY large axis is the
+    track dim — O(m) memory, fully fusable.  Decisions match the DLT
+    variant away from points at infinity (near-singular normal matrix ->
+    huge X -> huge error -> outlier, the right verdict for a finite
+    scene)."""
+    dt = xs.dtype
+    bx = [xs[v, :, 0] for v in range(3)]
+    by = [xs[v, :, 1] for v in range(3)]
+    M = [[jnp.zeros((), dt) for _ in range(3)] for _ in range(3)]
+    rhs = [jnp.zeros((), dt) for _ in range(3)]
+    for v in range(3):
+        R, t = Rs[v], ts[v]
+        # rows of [b]_x R and [b]_x t for b = (bx, by, 1)
+        C = ([by[v] * R[2, a] - R[1, a] for a in range(3)],
+             [R[0, a] - bx[v] * R[2, a] for a in range(3)],
+             [bx[v] * R[1, a] - by[v] * R[0, a] for a in range(3)])
+        d = (by[v] * t[2] - t[1],
+             t[0] - bx[v] * t[2],
+             bx[v] * t[1] - by[v] * t[0])
+        for a in range(3):
+            for bcol in range(a, 3):
+                M[a][bcol] = M[a][bcol] + sum(
+                    C[i][a] * C[i][bcol] for i in range(3))
+            rhs[a] = rhs[a] - sum(C[i][a] * d[i] for i in range(3))
+    for a in range(3):          # symmetric lower triangle
+        for bcol in range(a):
+            M[a][bcol] = M[bcol][a]
+    # X = adj(M) rhs / det(M), all elementwise over the track dim
+    c00 = M[1][1] * M[2][2] - M[1][2] * M[2][1]
+    c01 = M[0][2] * M[2][1] - M[0][1] * M[2][2]
+    c02 = M[0][1] * M[1][2] - M[0][2] * M[1][1]
+    c11 = M[0][0] * M[2][2] - M[0][2] * M[2][0]
+    c12 = M[0][2] * M[1][0] - M[0][0] * M[1][2]
+    c22 = M[0][0] * M[1][1] - M[0][1] * M[1][0]
+    det = M[0][0] * c00 + M[0][1] * (M[1][2] * M[2][0] - M[1][0] * M[2][2]) \
+        + M[0][2] * (M[1][0] * M[2][1] - M[1][1] * M[2][0])
+    det = jnp.where(jnp.abs(det) < eps, jnp.asarray(eps, dt), det)
+    X = [(c00 * rhs[0] + c01 * rhs[1] + c02 * rhs[2]) / det,
+         (c01 * rhs[0] + c11 * rhs[1] + c12 * rhs[2]) / det,
+         (c02 * rhs[0] + c12 * rhs[1] + c22 * rhs[2]) / det]
+    err = None
+    for v in range(3):
+        R, t = Rs[v], ts[v]
+        px = R[0, 0] * X[0] + R[0, 1] * X[1] + R[0, 2] * X[2] + t[0]
+        py = R[1, 0] * X[0] + R[1, 1] * X[1] + R[1, 2] * X[2] + t[1]
+        z = R[2, 0] * X[0] + R[2, 1] * X[1] + R[2, 2] * X[2] + t[2]
+        zs = jnp.where(jnp.abs(z) < eps, jnp.asarray(eps, dt), z)
+        e = (px / zs - bx[v]) ** 2 + (py / zs - by[v]) ** 2
+        e = jnp.where(z > 0, e, jnp.asarray(jnp.inf, dt))
+        err = e if err is None else jnp.maximum(err, e)
+    return err
 
 
 class TripletTranslationResult(NamedTuple):
