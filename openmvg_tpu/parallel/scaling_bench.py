@@ -88,7 +88,7 @@ def _overhead_stats(run_ref, run_n, trials):
 def measure_weak_scaling(n_feats=1024, pairs_per_device=64,
                          mesh_sizes=(1, 2, 4, 8), reps=3, trials=5,
                          ba_obs_per_device=65_536, ba_points=8_192,
-                         ba_poses=64, cg_iterations=5):
+                         ba_poses=64, cg_iterations=5, strong=False):
     """Weak-scaling COMMUNICATION-OVERHEAD measurement — the quantity a
     virtual CPU mesh can actually validate.
 
@@ -113,6 +113,13 @@ def measure_weak_scaling(n_feats=1024, pairs_per_device=64,
     pairs/device needed >28 min and was killed) — smaller compute makes
     the measured overhead fraction an UPPER bound, so the projection is
     conservative; pass pairs_per_device/n_feats up on real hardware.
+
+    strong=True holds TOTAL work fixed at max(mesh_sizes) devices'
+    worth instead of growing it with n (strong-scaling overhead: the
+    same fixed problem sharded over n devices vs solved on one).  On a
+    shared-core virtual mesh raw strong-scaling throughput reads 1/n by
+    construction (round-3 artifact's 15% was exactly that floor); the
+    overhead ratio is the quantity that transfers to real chips.
     """
     import jax.random as jrandom
 
@@ -146,11 +153,12 @@ def measure_weak_scaling(n_feats=1024, pairs_per_device=64,
         c = jax.device_put(counts, repl)
         return _time(lambda: matching.match_pair_batch(d, c, pairs_sh), reps)
 
+    n_max = max(n for n in mesh_sizes if n <= len(jax.devices()))
     match_res = {}
     for n in mesh_sizes:
         if n > len(jax.devices()):
             continue
-        k = pairs_per_device * n
+        k = pairs_per_device * (n_max if strong else n)
         if n == 1:
             t_ref = run_match(1, k)
             match_res[n] = {"pairs": k, "t_1dev_s": round(t_ref, 3),
@@ -170,8 +178,10 @@ def measure_weak_scaling(n_feats=1024, pairs_per_device=64,
         if n > len(jax.devices()):
             continue
         opp = max(ba_obs_per_device // ba_points, 4)
-        prob, O = big_ba_problem(n_poses=ba_poses, n_points=ba_points * n,
-                                 obs_per_point=opp, seed=5)
+        prob, O = big_ba_problem(
+            n_poses=ba_poses,
+            n_points=ba_points * (n_max if strong else n),
+            obs_per_point=opp, seed=5)
         cfg = ba.BAConfig(cg_iterations=cg_iterations)
         lam = jnp.asarray(cfg.lam_init, prob.X.dtype)
 

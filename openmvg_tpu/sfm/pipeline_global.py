@@ -342,6 +342,15 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
                 len(views), ei, ej, jnp.asarray(R_rel),
                 jnp.asarray(w / w.max())))
 
+    # deadline poll (utils/deadline): unlike the incremental engine the
+    # global stages are few and long, so the only useful stop points are
+    # the stage boundaries.  Without positions there is no partial
+    # reconstruction to salvage — return the scene untouched.
+    if deadline.past():
+        _log(cfg, "deadline reached — stopping before translation "
+                  "averaging (no poses reconstructed)")
+        return scene
+
     # 4. translation averaging
     method = {TRANSLATION_AVERAGING_L1: ta.L1,
               TRANSLATION_AVERAGING_L2_CHORDAL: ta.L2,
@@ -387,6 +396,12 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
         scene.pose_valid[pid] = True
         scene.pose_R[pid] = R_glob[i]
         scene.pose_C[pid] = -R_glob[i].T @ t_glob[i]
+
+    # a pose-only scene is a meaningful partial (ATE is evaluable); skip
+    # structure + BA past the deadline
+    if deadline.past():
+        _log(cfg, "deadline reached — returning pose-only partial scene")
+        return scene
 
     # 5. initial structure: tracks with >= min_track_views posed views
     landmark_of_track = np.full(index.n_tracks, -1, np.int64)

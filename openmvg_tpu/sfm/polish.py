@@ -21,7 +21,7 @@ from openmvg_tpu.models import cameras as cm
 from openmvg_tpu.utils import deadline, hostmath
 
 
-def f64_polish(scene, max_steps=8, cg_iters=30, lam=1e-6,
+def f64_polish(scene, max_steps=32, cg_iters=30, lam=1e-6,
                function_tolerance=1e-12):
     """In-place f64 pose+structure LM tail.  Returns accepted step count
     (0 when skipped: non-pinhole / multi-intrinsic / no native lib)."""
