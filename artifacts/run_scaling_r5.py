@@ -30,17 +30,30 @@ ppd = int(sys.argv[1]) if len(sys.argv) > 1 else 48
 trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 strong_ppd = int(sys.argv[3]) if len(sys.argv) > 3 else max(ppd // 4, 8)
 
+out = "/root/repo/artifacts/scaling_r5_virtual_8dev.json"
+config = {"n_feats": 4096, "pairs_per_device": ppd, "trials": trials,
+          "host_cpus": os.cpu_count(),
+          "note": "virtual 8-dev CPU mesh; overhead protocol, "
+                  "median/min/max over interleaved trials, "
+                  "no clamping; pairs_per_device is CPU-budget-"
+                  "limited => measured overhead is an upper "
+                  "bound (see module docstring)"}
+
+
+def persist(partial):
+    # unlosable record: flush after every completed mesh-size entry so a
+    # killed run keeps everything measured so far
+    partial = dict(partial, config=config)
+    with open(out, "w") as f:
+        json.dump(partial, f, indent=1)
+    print("partial written", out, flush=True)
+
+
 res = measure_weak_scaling(mesh_sizes=(1, 2, 4, 8), trials=trials, reps=1,
                            pairs_per_device=ppd, n_feats=4096,
-                           ba_obs_per_device=65536, ba_points=8192)
-out = "/root/repo/artifacts/scaling_r5_virtual_8dev.json"
-res["config"] = {"n_feats": 4096, "pairs_per_device": ppd, "trials": trials,
-                 "host_cpus": os.cpu_count(),
-                 "note": "virtual 8-dev CPU mesh; overhead protocol, "
-                         "median/min/max over interleaved trials, "
-                         "no clamping; pairs_per_device is CPU-budget-"
-                         "limited => measured overhead is an upper "
-                         "bound (see module docstring)"}
+                           ba_obs_per_device=65536, ba_points=8192,
+                           report=persist)
+res["config"] = config
 with open(out, "w") as f:
     json.dump(res, f, indent=1)
 print("weak written", out, flush=True)

@@ -88,7 +88,8 @@ def _overhead_stats(run_ref, run_n, trials):
 def measure_weak_scaling(n_feats=1024, pairs_per_device=64,
                          mesh_sizes=(1, 2, 4, 8), reps=3, trials=5,
                          ba_obs_per_device=65_536, ba_points=8_192,
-                         ba_poses=64, cg_iterations=5, strong=False):
+                         ba_poses=64, cg_iterations=5, strong=False,
+                         report=None):
     """Weak-scaling COMMUNICATION-OVERHEAD measurement — the quantity a
     virtual CPU mesh can actually validate.
 
@@ -113,6 +114,10 @@ def measure_weak_scaling(n_feats=1024, pairs_per_device=64,
     pairs/device needed >28 min and was killed) — smaller compute makes
     the measured overhead fraction an UPPER bound, so the projection is
     conservative; pass pairs_per_device/n_feats up on real hardware.
+
+    report, when given, is called with the (mutable, still-growing)
+    result dict after every completed mesh-size entry so callers can
+    persist partials — a killed run keeps everything measured so far.
 
     strong=True holds TOTAL work fixed at max(mesh_sizes) devices'
     worth instead of growing it with n (strong-scaling overhead: the
@@ -165,12 +170,15 @@ def measure_weak_scaling(n_feats=1024, pairs_per_device=64,
                             "t_ndev_s": round(t_ref, 3),
                             "overhead_median": 0.0, "trials": 1,
                             "efficiency_proj": 1.0}
-            continue
-        # reference: SAME sharded code path on a 1-device mesh with the
-        # same total work — the ratio isolates partitioning+collectives
-        match_res[n] = dict(pairs=k, **_overhead_stats(
-            lambda: run_match(1, k), lambda: run_match(n, k), trials))
-    out["matching_pair_sharded"] = match_res
+        else:
+            # reference: SAME sharded code path on a 1-device mesh with
+            # the same total work — the ratio isolates
+            # partitioning+collectives
+            match_res[n] = dict(pairs=k, **_overhead_stats(
+                lambda: run_match(1, k), lambda: run_match(n, k), trials))
+        out["matching_pair_sharded"] = match_res
+        if report is not None:
+            report(out)
 
     # ---- BA: point-sharded distributed LM step -----------------------
     ba_res = {}
@@ -197,10 +205,12 @@ def measure_weak_scaling(n_feats=1024, pairs_per_device=64,
                          "t_ndev_s": round(t_ref, 3),
                          "overhead_median": 0.0, "trials": 1,
                          "efficiency_proj": 1.0}
-            continue
-        ba_res[n] = dict(obs=O, **_overhead_stats(
-            lambda: run_ba(1), lambda: run_ba(n), trials))
-    out["ba_point_sharded"] = ba_res
+        else:
+            ba_res[n] = dict(obs=O, **_overhead_stats(
+                lambda: run_ba(1), lambda: run_ba(n), trials))
+        out["ba_point_sharded"] = ba_res
+        if report is not None:
+            report(out)
     return out
 
 
