@@ -407,6 +407,13 @@ def _big_totals(res, t_all):
     100-view CPU run needs hours on this 2-vCPU host; the ratio is only
     reported when the reference matches the dataset generation tag)."""
     res["big_total_s"] = round(time.perf_counter() - t_all, 1)
+    # the tag names the DEFAULT generation config; a custom-size smoke
+    # run (n_views/size overridden) must not claim it, or the pinned
+    # 100-view CPU reference below would yield a bogus cross-scale ratio
+    if (res.get("big_views"), res.get("big_size")) != (100, 1024):
+        res["big_dataset"] = (f"sphere-v2-{res.get('big_views')}"
+                              f"x{res.get('big_size')}-custom")
+        return
     res["big_dataset"] = _BIG_DATASET_TAG
     ref = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "artifacts", "big_e2e_cpu_reference.json")
