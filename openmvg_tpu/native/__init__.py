@@ -54,6 +54,11 @@ def _load():
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         i64, i64, i64, ctypes.c_double, ctypes.c_int32, ctypes.c_double,
         p_f64]
+    lib.omt_ba_lm_step_k.restype = i64
+    lib.omt_ba_lm_step_k.argtypes = [
+        p_i32, p_i32, p_f64, p_f64, p_f64, p_f64, p_f64, ctypes.c_int32,
+        i64, i64, i64, ctypes.c_double, ctypes.c_int32, ctypes.c_double,
+        p_f64]
     _lib = lib
     return _lib
 
@@ -154,6 +159,36 @@ def bench_ba_lm_step(obs_pose, obs_point, obs_x, rotvec, t, X, f, cx, cy,
     rc = lib.omt_bench_ba_lm_step(
         obs_pose, obs_point, obs_x.ravel(), rotvec.ravel(), t.ravel(),
         X.ravel(), float(f), float(cx), float(cy), len(obs_pose),
+        len(rotvec), len(X), float(lam), int(cg_iters), float(huber_a),
+        out2)
+    if rc < 0:
+        return None
+    return bool(rc), float(out2[0]), float(out2[1])
+
+
+def ba_lm_step_k(obs_pose, obs_point, obs_x, rotvec, t, X, kparams,
+                 refine_k=True, lam=1e-4, cg_iters=20, huber_a=16.0):
+    """One CPU implicit-Schur LM step with the shared pinhole intrinsics
+    [f, cx, cy] as three extra global unknowns in the reduced system
+    (joint refinement — the alternating update cannot traverse the
+    focal<->depth correlated valley).  Updates rotvec/t/X and kparams
+    IN PLACE on accept.  Returns (accepted, cost_before, cost_after)
+    or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    obs_pose = np.ascontiguousarray(obs_pose, np.int32)
+    obs_point = np.ascontiguousarray(obs_point, np.int32)
+    obs_x = np.ascontiguousarray(obs_x, np.float64)
+    assert rotvec.dtype == np.float64 and rotvec.flags.c_contiguous
+    assert t.dtype == np.float64 and t.flags.c_contiguous
+    assert X.dtype == np.float64 and X.flags.c_contiguous
+    assert kparams.dtype == np.float64 and kparams.flags.c_contiguous \
+        and kparams.size == 3
+    out2 = np.zeros(2, np.float64)
+    rc = lib.omt_ba_lm_step_k(
+        obs_pose, obs_point, obs_x.ravel(), rotvec.ravel(), t.ravel(),
+        X.ravel(), kparams, int(bool(refine_k)), len(obs_pose),
         len(rotvec), len(X), float(lam), int(cg_iters), float(huber_a),
         out2)
     if rc < 0:

@@ -498,23 +498,32 @@ extern "C" {
 
 // One LM step.  Arrays: obs_pose/obs_point (O), obs_x (O,2),
 // rotvec/t (P,3) and X (L,3) are UPDATED in place when the step is
-// accepted.  Returns 1 if accepted, 0 if rejected, <0 on error.
+// accepted; kp = [f, cx, cy] is also updated when refine_k != 0 (the
+// shared pinhole intrinsics ride the Schur-reduced system as 3 extra
+// global unknowns — parity with ceres ADJUST_ALL refining intrinsics
+// jointly, sfm_data_BA_ceres.cpp, where alternating minimization
+// cannot traverse the focal<->depth correlated valley).
+// Returns 1 if accepted, 0 if rejected, <0 on error.
 // out2: [cost_before, cost_after].
-int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
-                             const double* obs_x, double* rotvec, double* tvec,
-                             double* Xpts, double f, double cx, double cy,
-                             int64_t O, int64_t P, int64_t L, double lam,
-                             int32_t cg_iters, double huber_a, double* out2) {
+int64_t omt_ba_lm_step_k(const int32_t* obs_pose, const int32_t* obs_point,
+                         const double* obs_x, double* rotvec, double* tvec,
+                         double* Xpts, double* kp, int32_t refine_k,
+                         int64_t O, int64_t P, int64_t L, double lam,
+                         int32_t cg_iters, double huber_a, double* out2) {
   using namespace omt_ba;
+  const double f = kp[0], cx = kp[1], cy = kp[2];
   std::vector<double> R(P * 9), Jr(P * 9);
   for (int64_t p = 0; p < P; ++p) {
     rodrigues(rotvec + p * 3, &R[p * 9]);
     so3_right_jacobian(rotvec + p * 3, &Jr[p * 9]);
   }
-  // per-obs residuals (weighted), Jp (2x6), Jx (2x3)
-  std::vector<double> res(O * 2), Jp(O * 12), Jx(O * 6);
+  // per-obs residuals (weighted), Jp (2x6), Jx (2x3), Jk sparse 2x3
+  // (stored as {wgt*du/df, wgt*dv/df, wgt}: du/dcx = dv/dcy = 1, rest 0)
+  std::vector<double> res(O * 2), Jp(O * 12), Jx(O * 6), Jk(O * 3);
   std::vector<double> Hpp(L * 9, 0.0), gx(L * 3, 0.0);
   std::vector<double> Hcc(P * 36, 0.0), gc(P * 6, 0.0);
+  double Hkk[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+  double gk[3] = {0, 0, 0};
   double cost0 = 0.0;
 
 #ifdef _OPENMP
@@ -523,6 +532,8 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
   {
     std::vector<double> hpp_l(L * 9, 0.0), gx_l(L * 3, 0.0);
     std::vector<double> hcc_l(P * 36, 0.0), gc_l(P * 6, 0.0);
+    double hkk_l[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+    double gk_l[3] = {0, 0, 0};
     double cost_l = 0.0;
 #ifdef _OPENMP
 #pragma omp for schedule(static)
@@ -582,6 +593,21 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
           hcc_l[p * 36 + i * 6 + j] += jp[i] * jp[j] + jp[6 + i] * jp[6 + j];
         gc_l[p * 6 + i] -= jp[i] * res[o * 2] + jp[6 + i] * res[o * 2 + 1];
       }
+      if (refine_k) {
+        double* jk = &Jk[o * 3];
+        jk[0] = wgt * Xc[0] * iz;  // du/df
+        jk[1] = wgt * Xc[1] * iz;  // dv/df
+        jk[2] = wgt;               // du/dcx = dv/dcy
+        // Hkk (symmetric; [1][2] = 0 exactly)
+        hkk_l[0] += jk[0] * jk[0] + jk[1] * jk[1];
+        hkk_l[1] += jk[0] * jk[2];
+        hkk_l[2] += jk[1] * jk[2];
+        hkk_l[4] += jk[2] * jk[2];
+        hkk_l[8] += jk[2] * jk[2];
+        gk_l[0] -= jk[0] * res[o * 2] + jk[1] * res[o * 2 + 1];
+        gk_l[1] -= jk[2] * res[o * 2];
+        gk_l[2] -= jk[2] * res[o * 2 + 1];
+      }
     }
 #ifdef _OPENMP
 #pragma omp critical
@@ -591,9 +617,14 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
       for (int64_t i = 0; i < (int64_t)gx.size(); ++i) gx[i] += gx_l[i];
       for (int64_t i = 0; i < (int64_t)Hcc.size(); ++i) Hcc[i] += hcc_l[i];
       for (int64_t i = 0; i < (int64_t)gc.size(); ++i) gc[i] += gc_l[i];
+      for (int i = 0; i < 9; ++i) Hkk[i] += hkk_l[i];
+      for (int i = 0; i < 3; ++i) gk[i] += gk_l[i];
       cost0 += cost_l;
     }
   }
+  Hkk[3] = Hkk[1];
+  Hkk[6] = Hkk[2];
+  Hkk[7] = Hkk[5];  // zero
 
   // damp
   std::vector<double> HppD(Hpp);
@@ -606,12 +637,21 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
     for (int i = 0; i < 6; ++i)
       Mp[p * 36 + i * 6 + i] += lam * std::max(Hcc[p * 36 + i * 6 + i], 1e-12) + 1e-12;
   }
+  double Mk[9];
+  for (int i = 0; i < 9; ++i) Mk[i] = Hkk[i];
+  for (int i = 0; i < 3; ++i)
+    Mk[i * 3 + i] += lam * std::max(Hkk[i * 3 + i], 1e-12) + 1e-12;
 
-  // reduced rhs b = gc - E Hpp^-1 gx
+  // N unknowns: 6 per pose + (optionally) the 3 shared intrinsics
+  const int64_t N = P * 6 + (refine_k ? 3 : 0);
+  const int64_t KO = P * 6;  // offset of the intrinsic block
+
+  // reduced rhs b = g - E Hpp^-1 gx
   std::vector<double> HinvGx(L * 3);
   for (int64_t l = 0; l < L; ++l) solve3(&HppD[l * 9], &gx[l * 3], &HinvGx[l * 3]);
-  std::vector<double> bred(P * 6);
+  std::vector<double> bred(N);
   for (int64_t i = 0; i < P * 6; ++i) bred[i] = gc[i];
+  if (refine_k) for (int i = 0; i < 3; ++i) bred[KO + i] = gk[i];
   for (int64_t o = 0; o < O; ++o) {
     const int64_t p = obs_pose[o], l = obs_point[o];
     const double* jx = &Jx[o * 6];
@@ -619,13 +659,19 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
     const double zu = jx[0] * HinvGx[l * 3] + jx[1] * HinvGx[l * 3 + 1] + jx[2] * HinvGx[l * 3 + 2];
     const double zv = jx[3] * HinvGx[l * 3] + jx[4] * HinvGx[l * 3 + 1] + jx[5] * HinvGx[l * 3 + 2];
     for (int i = 0; i < 6; ++i) bred[p * 6 + i] -= jp[i] * zu + jp[6 + i] * zv;
+    if (refine_k) {
+      const double* jk = &Jk[o * 3];
+      bred[KO + 0] -= jk[0] * zu + jk[1] * zv;
+      bred[KO + 1] -= jk[2] * zu;
+      bred[KO + 2] -= jk[2] * zv;
+    }
   }
 
   // CG on S dc = bred with block-Jacobi preconditioner
-  std::vector<double> dc(P * 6, 0.0), rr(bred), z(P * 6), pp(P * 6), Ap(P * 6);
+  std::vector<double> dc(N, 0.0), rr(bred), z(N), pp(N), Ap(N);
   std::vector<double> u(O * 2), w3(L * 3), y3(L * 3);
   auto S_matvec = [&](const std::vector<double>& vin, std::vector<double>& vout) {
-    // u = Jc v ; w = Jx^T u ; y = Hpp^-1 w ; out = Jc^T(u - Jx y) + lam D v
+    // u = J v ; w = Jx^T u ; y = Hpp^-1 w ; out = J^T(u - Jx y) + lam D v
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
@@ -636,6 +682,11 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
       for (int i = 0; i < 6; ++i) {
         su += jp[i] * vin[p * 6 + i];
         sv += jp[6 + i] * vin[p * 6 + i];
+      }
+      if (refine_k) {
+        const double* jk = &Jk[o * 3];
+        su += jk[0] * vin[KO] + jk[2] * vin[KO + 1];
+        sv += jk[1] * vin[KO] + jk[2] * vin[KO + 2];
       }
       u[o * 2] = su;
       u[o * 2 + 1] = sv;
@@ -659,26 +710,39 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
       const double zu = u[o * 2] - (jx[0] * y3[l * 3] + jx[1] * y3[l * 3 + 1] + jx[2] * y3[l * 3 + 2]);
       const double zv = u[o * 2 + 1] - (jx[3] * y3[l * 3] + jx[4] * y3[l * 3 + 1] + jx[5] * y3[l * 3 + 2]);
       for (int i = 0; i < 6; ++i) vout[p * 6 + i] += jp[i] * zu + jp[6 + i] * zv;
+      if (refine_k) {
+        const double* jk = &Jk[o * 3];
+        vout[KO + 0] += jk[0] * zu + jk[1] * zv;
+        vout[KO + 1] += jk[2] * zu;
+        vout[KO + 2] += jk[2] * zv;
+      }
     }
     for (int64_t p = 0; p < P; ++p)
       for (int i = 0; i < 6; ++i)
         vout[p * 6 + i] += lam * std::max(Hcc[p * 36 + i * 6 + i], 1e-12) * vin[p * 6 + i];
+    if (refine_k)
+      for (int i = 0; i < 3; ++i)
+        vout[KO + i] += lam * std::max(Hkk[i * 3 + i], 1e-12) * vin[KO + i];
   };
-  for (int64_t p = 0; p < P; ++p) solve6(&Mp[p * 36], &rr[p * 6], &z[p * 6]);
+  auto precond = [&](const std::vector<double>& rin, std::vector<double>& zout) {
+    for (int64_t p = 0; p < P; ++p) solve6(&Mp[p * 36], &rin[p * 6], &zout[p * 6]);
+    if (refine_k) solve3(Mk, &rin[KO], &zout[KO]);
+  };
+  precond(rr, z);
   pp = z;
   double rz = 0;
-  for (int64_t i = 0; i < P * 6; ++i) rz += rr[i] * z[i];
+  for (int64_t i = 0; i < N; ++i) rz += rr[i] * z[i];
   for (int32_t it = 0; it < cg_iters; ++it) {
     S_matvec(pp, Ap);
     double pAp = 0;
-    for (int64_t i = 0; i < P * 6; ++i) pAp += pp[i] * Ap[i];
+    for (int64_t i = 0; i < N; ++i) pAp += pp[i] * Ap[i];
     const double alpha = rz / (std::fabs(pAp) < 1e-30 ? 1e-30 : pAp);
-    for (int64_t i = 0; i < P * 6; ++i) { dc[i] += alpha * pp[i]; rr[i] -= alpha * Ap[i]; }
-    for (int64_t p = 0; p < P; ++p) solve6(&Mp[p * 36], &rr[p * 6], &z[p * 6]);
+    for (int64_t i = 0; i < N; ++i) { dc[i] += alpha * pp[i]; rr[i] -= alpha * Ap[i]; }
+    precond(rr, z);
     double rz2 = 0;
-    for (int64_t i = 0; i < P * 6; ++i) rz2 += rr[i] * z[i];
+    for (int64_t i = 0; i < N; ++i) rz2 += rr[i] * z[i];
     const double beta = rz2 / (std::fabs(rz) < 1e-30 ? 1e-30 : rz);
-    for (int64_t i = 0; i < P * 6; ++i) pp[i] = z[i] + beta * pp[i];
+    for (int64_t i = 0; i < N; ++i) pp[i] = z[i] + beta * pp[i];
     rz = rz2;
   }
 
@@ -692,6 +756,11 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
     for (int i = 0; i < 6; ++i) {
       su += jp[i] * dc[p * 6 + i];
       sv += jp[6 + i] * dc[p * 6 + i];
+    }
+    if (refine_k) {
+      const double* jk = &Jk[o * 3];
+      su += jk[0] * dc[KO] + jk[2] * dc[KO + 1];
+      sv += jk[1] * dc[KO] + jk[2] * dc[KO + 2];
     }
     for (int i = 0; i < 3; ++i)
       w3[l * 3 + i] += jx[i] * su + jx[3 + i] * sv;
@@ -707,6 +776,9 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
   }
 
   // tentative step + new cost
+  const double f2 = refine_k ? f + dc[KO] : f;
+  const double cx2 = refine_k ? cx + dc[KO + 1] : cx;
+  const double cy2 = refine_k ? cy + dc[KO + 2] : cy;
   std::vector<double> rv2(P * 3), tv2(P * 3), X2(L * 3);
   for (int64_t i = 0; i < P * 3; ++i) rv2[i] = rotvec[i] + dc[(i / 3) * 6 + (i % 3)];
   for (int64_t i = 0; i < P * 3; ++i) tv2[i] = tvec[i] + dc[(i / 3) * 6 + 3 + (i % 3)];
@@ -725,8 +797,8 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
         Rp[3] * Xl[0] + Rp[4] * Xl[1] + Rp[5] * Xl[2] + tv2[p * 3 + 1],
         Rp[6] * Xl[0] + Rp[7] * Xl[1] + Rp[8] * Xl[2] + tv2[p * 3 + 2]};
     const double iz = 1.0 / Xc[2];
-    const double du_ = f * Xc[0] * iz + cx - obs_x[o * 2 + 0];
-    const double dv_ = f * Xc[1] * iz + cy - obs_x[o * 2 + 1];
+    const double du_ = f2 * Xc[0] * iz + cx2 - obs_x[o * 2 + 0];
+    const double dv_ = f2 * Xc[1] * iz + cy2 - obs_x[o * 2 + 1];
     const double s = du_ * du_ + dv_ * dv_;
     cost1 += 0.5 * (s <= huber_a ? s : 2.0 * std::sqrt(huber_a * s) - huber_a);
   }
@@ -736,9 +808,22 @@ int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
     std::copy(rv2.begin(), rv2.end(), rotvec);
     std::copy(tv2.begin(), tv2.end(), tvec);
     std::copy(X2.begin(), X2.end(), Xpts);
+    if (refine_k) { kp[0] = f2; kp[1] = cx2; kp[2] = cy2; }
     return 1;
   }
   return 0;
+}
+
+// Back-compat export (fixed intrinsics) — the bench.py ceres-class
+// baseline keeps this exact ABI.
+int64_t omt_bench_ba_lm_step(const int32_t* obs_pose, const int32_t* obs_point,
+                             const double* obs_x, double* rotvec, double* tvec,
+                             double* Xpts, double f, double cx, double cy,
+                             int64_t O, int64_t P, int64_t L, double lam,
+                             int32_t cg_iters, double huber_a, double* out2) {
+  double kp[3] = {f, cx, cy};
+  return omt_ba_lm_step_k(obs_pose, obs_point, obs_x, rotvec, tvec, Xpts,
+                          kp, 0, O, P, L, lam, cg_iters, huber_a, out2);
 }
 
 }  // extern "C"

@@ -447,7 +447,9 @@ def global_sfm(scene: Scene, features: List[np.ndarray],
         from openmvg_tpu.sfm.polish import f64_polish
 
         with stage("f64_polish"):
-            f64_polish(scene)
+            f64_polish(
+                scene,
+                refine_intrinsics=cfg.refine_intrinsics != ba.ADJUST_NONE)
     if cfg.verbose:
         _log(cfg, f"done: {int(scene.pose_valid.sum())} poses, "
                   f"{scene.n_landmarks} landmarks, rmse={rmse(scene):.3f}")

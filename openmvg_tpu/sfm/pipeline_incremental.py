@@ -737,7 +737,9 @@ def incremental_sfm(scene: Scene, features: List[np.ndarray],
         from openmvg_tpu.sfm.polish import f64_polish
 
         with stage("f64_polish"):
-            n_pol = f64_polish(scene)
+            n_pol = f64_polish(
+                scene,
+                refine_intrinsics=cfg.refine_intrinsics != ba.ADJUST_NONE)
         if n_pol and cfg.verbose:
             _log(cfg, f"f64 polish: {n_pol} accepted steps, "
                       f"rmse={rmse(scene):.4f}")

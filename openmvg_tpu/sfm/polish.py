@@ -3,12 +3,16 @@
 The production BA runs f32 on TPU (x64 is unavailable there); the
 residual ~3x ATE gap vs the f64 CPU backend (round-4 dense e2e: 0.0025
 vs 0.0009) is closed by a short double-precision LM tail on the host:
-the native C++ implicit-Schur LM (native/native.cpp
-omt_bench_ba_lm_step — f64 throughout, OpenMP) refines poses+structure
-with intrinsics held at their f32-converged values.
+the native C++ implicit-Schur LM (native/native.cpp omt_ba_lm_step_k —
+f64 throughout, OpenMP) refines poses+structure AND the shared pinhole
+intrinsics jointly (the 3 intrinsic unknowns ride the Schur-reduced CG
+system as one extra global block; an alternating intrinsic update
+cannot traverse the focal<->depth correlated valley that the f32
+engine rounds drift along).
 
-Reference parity: ceres runs f64 throughout (sfm_data_BA_ceres.cpp);
-this is the cheapest equivalent tail for a TPU-f32 pipeline.
+Reference parity: ceres runs f64 throughout and refines intrinsics
+jointly under ADJUST_ALL (sfm_data_BA_ceres.cpp); this is the cheapest
+equivalent tail for a TPU-f32 pipeline.
 
 Constraints: single shared plain-PINHOLE intrinsic (the standard
 pipeline configuration); silently a no-op otherwise or when the native
@@ -21,10 +25,11 @@ from openmvg_tpu.models import cameras as cm
 from openmvg_tpu.utils import deadline, hostmath
 
 
-def f64_polish(scene, max_steps=32, cg_iters=30, lam=1e-6,
-               function_tolerance=1e-12):
-    """In-place f64 pose+structure LM tail.  Returns accepted step count
-    (0 when skipped: non-pinhole / multi-intrinsic / no native lib)."""
+def f64_polish(scene, max_steps=48, cg_iters=30, lam=1e-6,
+               function_tolerance=1e-12, refine_intrinsics=True):
+    """In-place f64 pose+structure(+shared-intrinsic) LM tail.  Returns
+    accepted step count (0 when skipped: non-pinhole / multi-intrinsic /
+    no native lib)."""
     from openmvg_tpu import native
 
     if not native.available():
@@ -46,14 +51,14 @@ def f64_polish(scene, max_steps=32, cg_iters=30, lam=1e-6,
     t = np.ascontiguousarray(
         -np.einsum("nij,nj->ni", R, scene.pose_C[pose_ids]), np.float64)
     X = np.ascontiguousarray(scene.X[point_ids], np.float64)
-    params = np.asarray(scene.cameras.params, np.float64)[0]
-    f, cx, cy = params[0], params[1], params[2]
+    kp = np.ascontiguousarray(
+        np.asarray(scene.cameras.params, np.float64)[0, 0:3])
 
     accepted = 0
     for _ in range(max_steps):
-        r = native.bench_ba_lm_step(obs_pose, obs_point, obs_x, rotvec, t,
-                                    X, f, cx, cy, lam=lam,
-                                    cg_iters=cg_iters)
+        r = native.ba_lm_step_k(obs_pose, obs_point, obs_x, rotvec, t,
+                                X, kp, refine_k=refine_intrinsics,
+                                lam=lam, cg_iters=cg_iters)
         if r is None:
             break
         ok, c0, c1 = r
@@ -74,4 +79,8 @@ def f64_polish(scene, max_steps=32, cg_iters=30, lam=1e-6,
         scene.pose_R[pose_ids] = Rn
         scene.pose_C[pose_ids] = -np.einsum("nji,nj->ni", Rn, t)
         scene.X[point_ids] = X
+        if refine_intrinsics:
+            p = np.array(scene.cameras.params, np.float64)
+            p[0, 0:3] = kp
+            scene.cameras = scene.cameras._replace(params=p)
     return accepted

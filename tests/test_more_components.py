@@ -164,3 +164,35 @@ def test_f64_polish_tightens_f32_scene():
     # rotations stay orthonormal
     RtR = np.einsum("nji,njk->nik", sc.pose_R, sc.pose_R)
     np.testing.assert_allclose(RtR, np.tile(np.eye(3), (8, 1, 1)), atol=1e-9)
+
+
+def test_f64_polish_recovers_intrinsics():
+    """The alternated closed-form intrinsic update (polish.py:_intrinsics_ls)
+    must pull a drifted focal/principal point back to the value the f64
+    observations imply — parity with ceres refining intrinsics in f64
+    (sfm_data_BA_ceres.cpp ADJUST_ALL)."""
+    from openmvg_tpu import native
+    from openmvg_tpu.sfm.polish import f64_polish
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    s = ring_scene(n_views=8, n_points=60, seed=21)
+    sc = scene_from_ring(s, seed=22)
+    p = np.array(sc.cameras.params, np.float64)
+    f_gt, cx_gt, cy_gt = p[0, 0:3]
+    # emulate f32-converged drift: focal off by 0.1%, pp by 0.3 px
+    p[0, 0] = f_gt * 1.001
+    p[0, 1] = cx_gt + 0.3
+    sc.cameras = sc.cameras._replace(params=p)
+    sc.pose_R = sc.pose_R.astype(np.float32).astype(np.float64)
+    sc.pose_C = sc.pose_C.astype(np.float32).astype(np.float64)
+    sc.X = sc.X.astype(np.float32).astype(np.float64)
+    n = f64_polish(sc, refine_intrinsics=True)
+    assert n > 0
+    f_out, cx_out, cy_out = np.asarray(sc.cameras.params, np.float64)[0, 0:3]
+    # the drift was 0.1% / 0.3 px; polished values must land well inside it
+    assert abs(f_out - f_gt) / f_gt < 2e-4, (f_out, f_gt)
+    assert abs(cx_out - cx_gt) < 0.05, (cx_out, cx_gt)
+    assert rmse(sc) < 0.05
